@@ -1,0 +1,109 @@
+"""Fused forward kinematics + collision checking (the reference's `fkcc`).
+
+The reference interleaves generated FK with early-exit env/self checks over a
+rake of 8 SIMD lanes (src/impl/vamp/robots/panda.hh:5226-10262).  On TPU the
+rake becomes an arbitrary batch shape and every check is evaluated densely:
+
+  fkcc(spec, env, q (..., d)) -> valid (...) bool   (True = collision-free)
+
+Self-collision is evaluated as a masked pairwise distance matrix driven by one
+small batched matmul (MXU) instead of the reference's 690 scalar pair checks;
+the pair set is identical (extracted reference tables, robots/_reference_data.json).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vamp_mvt_tpu.collision import primitives
+from vamp_mvt_tpu.collision.environment import Environment
+from vamp_mvt_tpu.ops.fk import sphere_positions
+from vamp_mvt_tpu.robots.spec import RobotSpec
+
+
+def _self_collision_threshold(spec: RobotSpec) -> np.ndarray:
+    """(S, S) matrix: (r_i + r_j)^2 for checked pairs, -inf otherwise."""
+    S = spec.n_spheres
+    thr = np.full((S, S), -np.inf, dtype=np.float32)
+    r = spec.sphere_radius
+    for i, j in spec.self_collision_pairs:
+        v = (r[i] + r[j]) ** 2
+        thr[i, j] = v
+        thr[j, i] = v
+    return thr
+
+
+_THRESH_CACHE: dict[int, np.ndarray] = {}
+
+
+def self_collision(spec: RobotSpec, centers: jnp.ndarray) -> jnp.ndarray:
+    """centers (..., S, 3) -> (...) bool, True = some checked pair collides.
+
+    Collision for pair (i, j) iff |c_i - c_j|^2 - (r_i + r_j)^2 < 0, matching
+    sphere_sphere_self_collision (reference collision/validity.hh:23-44).
+    """
+    key = id(spec)
+    if key not in _THRESH_CACHE:
+        _THRESH_CACHE[key] = _self_collision_threshold(spec)
+    thr = jnp.asarray(_THRESH_CACHE[key])
+    if thr.size == 0 or not np.isfinite(_THRESH_CACHE[key]).any():
+        return jnp.zeros(centers.shape[:-2], dtype=bool)
+    # |a-b|^2 = |a|^2 + |b|^2 - 2 a.b ; the a.b term is one batched matmul.
+    # Full f32 precision: the default TPU matmul is bf16-class, whose ~0.4%
+    # error flips borderline contacts (the reference computes in f32).
+    sq = jnp.sum(centers * centers, axis=-1)
+    dots = jnp.matmul(
+        centers,
+        jnp.swapaxes(centers, -1, -2),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d2 = sq[..., :, None] + sq[..., None, :] - 2.0 * dots
+    return jnp.any(d2 < thr, axis=(-2, -1))
+
+
+def env_collision(
+    env: Environment, centers: jnp.ndarray, radii: jnp.ndarray
+) -> jnp.ndarray:
+    """centers (..., S, 3), radii (S,) -> (...) bool, True = env collision.
+
+    Dense equivalent of sphere_environment_in_collision
+    (reference collision/validity.hh:46-158): any sphere vs any shape with a
+    strictly negative signed value collides.
+    """
+    hits = []
+    if env.spheres.shape[-2]:
+        hits.append(primitives.sphere_sphere(env.spheres, centers, radii))
+    if env.capsules.shape[-2]:
+        hits.append(primitives.sphere_capsule(env.capsules, centers, radii))
+    if env.z_capsules.shape[-2]:
+        hits.append(primitives.sphere_z_capsule(env.z_capsules, centers, radii))
+    if env.cuboids.shape[-2]:
+        hits.append(primitives.sphere_cuboid(env.cuboids, centers, radii))
+    if env.z_cuboids.shape[-2]:
+        hits.append(primitives.sphere_z_cuboid(env.z_cuboids, centers, radii))
+    if env.hf_meta.shape[-2]:
+        hits.append(
+            primitives.sphere_heightfield(env.hf_meta, env.hf_data, centers, radii)
+        )
+    if not hits:
+        return jnp.zeros(centers.shape[:-2], dtype=bool)
+    collided = [jnp.any(h < 0.0, axis=(-2, -1)) for h in hits]
+    out = collided[0]
+    for c in collided[1:]:
+        out = out | c
+    return out
+
+
+def fkcc(spec: RobotSpec, env: Environment, q: jnp.ndarray) -> jnp.ndarray:
+    """(..., d) configurations -> (...) bool, True = collision-free.
+
+    Equivalent of Robot::fkcc (reference robots/panda.hh:5226): FK to sphere
+    centers, environment checks for all robot spheres, and self-collision for
+    the robot's checked pair set.
+    """
+    centers = sphere_positions(spec, q)
+    radii = jnp.asarray(spec.sphere_radius)
+    bad = env_collision(env, centers, radii) | self_collision(spec, centers)
+    return ~bad

@@ -1,0 +1,94 @@
+"""Raked motion validation — the reference's hot kernel, TPU-batched.
+
+The reference validates a motion segment by checking interpolated
+configurations at fractions k/N for k = 1..N (start excluded, endpoint
+included), where N = rake * n, n = max(ceil(dist/rake * resolution), 1) and
+rake = 8 (src/impl/vamp/planning/validate.hh:23-77).  The backstep loop that
+covers the N configs 8 at a time disappears on TPU: all R >= N interpolation
+points are evaluated in ONE fused FK+CC program, with fractions for k > N
+clamped to the (already-checked) endpoint so checked points match the
+reference's set exactly.
+
+All functions are single-problem; batch across problems with jax.vmap.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from vamp_mvt_tpu.collision.environment import Environment
+from vamp_mvt_tpu.ops.fkcc import fkcc
+from vamp_mvt_tpu.robots.spec import RobotSpec
+
+RAKE = 8  # the reference's SIMD width; defines the N = 8*ceil(d*res/8) grid
+
+
+def n_points_bound(spec: RobotSpec, max_dist: float) -> int:
+    """Static upper bound on N for segments of length <= max_dist."""
+    return RAKE * max(int(math.ceil(max_dist * spec.resolution / RAKE)) + 1, 1)
+
+
+def interpolation_fractions(
+    spec: RobotSpec, dist: jnp.ndarray, num: int
+) -> jnp.ndarray:
+    """(num,) fractions k/N (k = 1..num), clamped to 1 past the endpoint."""
+    n = jnp.maximum(jnp.ceil(dist * (spec.resolution / RAKE)), 1.0)
+    N = RAKE * n
+    k = jnp.arange(1, num + 1, dtype=jnp.float32)
+    return jnp.minimum(k / N, 1.0)
+
+
+def validate_vector(
+    spec: RobotSpec,
+    env: Environment,
+    start: jnp.ndarray,
+    vector: jnp.ndarray,
+    dist: jnp.ndarray,
+    num: int,
+) -> jnp.ndarray:
+    """Validate start + t*vector for t in (0, 1]; True = collision-free.
+
+    `num` is the static number of evaluated interpolation points and must be
+    >= the dynamic N for this segment (use n_points_bound on the max segment
+    length).  Mirrors validate_vector (reference planning/validate.hh:23-67).
+    """
+    frac = interpolation_fractions(spec, dist, num)  # (num,)
+    block = start[None, :] + vector[None, :] * frac[:, None]  # (num, d)
+    return jnp.all(fkcc(spec, env, block))
+
+
+def validate_motion(
+    spec: RobotSpec,
+    env: Environment,
+    start: jnp.ndarray,
+    goal: jnp.ndarray,
+    num: int,
+) -> jnp.ndarray:
+    """Validate the straight segment start -> goal (planning/validate.hh:69-77)."""
+    vector = goal - start
+    dist = jnp.sqrt(jnp.sum(vector * vector))
+    return validate_vector(spec, env, start, vector, dist, num)
+
+
+def validate_motion_batch(
+    spec: RobotSpec,
+    env: Environment,
+    starts: jnp.ndarray,
+    goals: jnp.ndarray,
+    num: int,
+) -> jnp.ndarray:
+    """Validate E segments at once: (E, d) x (E, d) -> (E,) bool.
+
+    One fused FK+CC evaluation over (E, num) configurations — the workhorse
+    for batched shortcut/smoothing and roadmap edge validation.
+    """
+    vectors = goals - starts
+    dists = jnp.sqrt(jnp.sum(vectors * vectors, axis=-1))
+    n = jnp.maximum(jnp.ceil(dists * (spec.resolution / RAKE)), 1.0)
+    N = RAKE * n  # (E,)
+    k = jnp.arange(1, num + 1, dtype=jnp.float32)
+    frac = jnp.minimum(k[None, :] / N[:, None], 1.0)  # (E, num)
+    block = starts[:, None, :] + vectors[:, None, :] * frac[:, :, None]
+    return jnp.all(fkcc(spec, env, block), axis=-1)

@@ -1,0 +1,322 @@
+"""Path simplification: SHORTCUT / BSPLINE / REDUCE / PERTURB, TPU-batched.
+
+Re-derives reference src/impl/vamp/planning/simplify.hh:14-261 on fixed-size
+padded path buffers:
+
+- SHORTCUT (simplify.hh:115-141): the reference scans pairs sequentially with
+  a validate call per pair.  Here ALL candidate pairs are validated in one
+  fused FK+CC kernel, then the reference's exact greedy erase order (ascending
+  i, largest valid j) is replayed over the precomputed validity matrix — the
+  matrix stays valid during erasure because removing vertices moves nothing.
+- BSPLINE (simplify.hh:14-53): one subdivide + midpoint-pull step; all even
+  indices are pulled independently (the reference's loop only reads odd
+  neighbors, which it never writes), so both neighbor-segment validations for
+  every index happen in a single batched call.
+- REDUCE / PERTURB (simplify.hh:55-113,143-190): randomized sequential ops,
+  implemented with jax.random (threefry) instead of the reference's mt19937 —
+  same distribution of proposals, different stream.  Off by default, as in the
+  reference (simplify_settings.hh:44 default ops = SHORTCUT, BSPLINE).
+
+All functions are single-problem on (P, d) padded paths; batch with jax.vmap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vamp_mvt_tpu.collision.environment import Environment
+from vamp_mvt_tpu.planning import validate as validate_mod
+from vamp_mvt_tpu.robots.spec import RobotSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class SimplifySettings:
+    """Mirrors reference simplify_settings.hh:15-51."""
+
+    max_iterations: int = 5
+    interpolate: int = 0
+    operations: tuple = ("shortcut", "bspline")
+    bspline_max_steps: int = 1
+    bspline_min_change: float = 0.1
+    bspline_midpoint_interpolation: float = 0.5
+    reduce_max_steps: int = 10
+    reduce_max_empty_steps: int = 5
+    reduce_range_ratio: float = 0.5
+    perturb_max_steps: int = 10
+    perturb_max_empty_steps: int = 5
+    perturb_attempts: int = 5
+    perturb_range: float = 0.1
+
+
+class SimplifyResult(NamedTuple):
+    path: jnp.ndarray         # (P, d) padded with last vertex
+    path_length: jnp.ndarray  # () i32
+    cost: jnp.ndarray         # () f32
+    iterations: jnp.ndarray   # () i32
+
+
+def path_cost(path: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
+    seg = path[1:] - path[:-1]
+    lens = jnp.sqrt(jnp.sum(seg * seg, axis=-1))
+    k = jnp.arange(1, path.shape[0])
+    return jnp.sum(jnp.where(k < length, lens, 0.0))
+
+
+def _pad_tail(path: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
+    """Fill entries past `length` with the final vertex."""
+    P = path.shape[0]
+    k = jnp.arange(P)
+    last = path[jnp.maximum(length - 1, 0)]
+    return jnp.where((k < length)[:, None], path, last[None, :])
+
+
+def _shortcut(spec, env, path, length, num_long):
+    """Batched-validation greedy shortcut (reference simplify.hh:115-141)."""
+    P = path.shape[0]
+    # All pairs (i, j) with j >= i + 2; a static index list.
+    ii, jj = np.triu_indices(P, k=2)
+    ii = jnp.asarray(ii, jnp.int32)
+    jj = jnp.asarray(jj, jnp.int32)
+    in_range = jj < length
+    # Out-of-range pairs validate a zero-length segment (cheap, masked off).
+    starts = path[ii]
+    goals = jnp.where(in_range[:, None], path[jj], starts)
+    vflat = validate_mod.validate_motion_batch(spec, env, starts, goals, num_long)
+    vflat = vflat & in_range
+    V = jnp.zeros((P, P), bool).at[ii, jj].set(vflat)
+
+    karange = jnp.arange(P)
+
+    def body(carry):
+        idx, n, i, changed = carry
+        vrow = V[idx[i]][idx]  # validity of (vertex i -> vertex k) in current path
+        cand = vrow & (karange > i + 1) & (karange < n)
+        has = jnp.any(cand)
+        # largest valid j
+        j = P - 1 - jnp.argmax(jnp.flip(cand))
+        shift = jnp.where(has, j - (i + 1), 0)
+        gathered = idx[jnp.minimum(karange + shift, P - 1)]
+        idx = jnp.where(karange <= i, idx, gathered)
+        return idx, n - shift, i + 1, changed | (shift > 0)
+
+    def cond(carry):
+        _, n, i, _ = carry
+        return i < n - 2
+
+    idx0 = jnp.arange(P, dtype=jnp.int32)
+    idx, n, _, changed = jax.lax.while_loop(
+        cond, body, (idx0, length, jnp.int32(0), jnp.asarray(False))
+    )
+    return path[idx], n, changed
+
+
+def _bspline(spec, env, path, length, s: SimplifySettings, num_long):
+    """One (or max_steps) subdivide + midpoint-pull passes (simplify.hh:14-53)."""
+    P, d = path.shape
+    mi = s.bspline_midpoint_interpolation
+    j = jnp.arange(P)
+    changed = jnp.asarray(False)
+
+    for _ in range(s.bspline_max_steps):
+        can = (2 * length - 1 <= P) & (length >= 3)
+        # subdivide: even slots keep vertices, odd slots get midpoints
+        half = j // 2
+        nxt = jnp.minimum(half + 1, P - 1)
+        sub = jnp.where(
+            (j % 2 == 0)[:, None], path[half], 0.5 * (path[half] + path[nxt])
+        )
+        path = jnp.where(can, sub, path)
+        length = jnp.where(can, 2 * length - 1, length)
+
+        prev = path[jnp.maximum(j - 1, 0)]
+        nxt2 = path[jnp.minimum(j + 1, P - 1)]
+        t1 = path + (prev - path) * mi
+        t2 = path + (nxt2 - path) * mi
+        mid = t1 + (t2 - t1) * 0.5
+
+        cand = can & (j % 2 == 0) & (j >= 2) & (j < length - 1)
+        moved = jnp.sqrt(jnp.sum((path - mid) ** 2, -1)) > s.bspline_min_change
+        # both neighbor segments in one batched validation
+        seg_starts = jnp.concatenate([prev, mid])
+        seg_goals = jnp.concatenate([mid, nxt2])
+        keep = jnp.concatenate([cand & moved] * 2)
+        seg_goals = jnp.where(keep[:, None], seg_goals, seg_starts)
+        v = validate_mod.validate_motion_batch(spec, env, seg_starts, seg_goals, num_long)
+        accept = cand & moved & v[:P] & v[P:]
+        path = jnp.where(accept[:, None], mid, path)
+        changed = changed | jnp.any(accept)
+
+    return path, length, changed
+
+
+def _reduce(spec, env, path, length, s: SimplifySettings, key, num_long):
+    """Randomized vertex removal (simplify.hh:55-113)."""
+    P = path.shape[0]
+    karange = jnp.arange(P)
+    max_steps = s.reduce_max_steps if s.reduce_max_steps else P
+    max_empty = s.reduce_max_empty_steps if s.reduce_max_empty_steps else P
+
+    def body(carry):
+        path, n, i, no_change, changed, key = carry
+        key, k1, k2 = jax.random.split(key, 3)
+        max_n = n - 1
+        rng_span = 1 + jnp.floor(0.5 + n.astype(jnp.float32) * s.reduce_range_ratio).astype(jnp.int32)
+        p0 = jax.random.randint(k1, (), 0, jnp.maximum(max_n + 1, 1))
+        lo = jnp.maximum(p0 - rng_span, 0)
+        hi = jnp.minimum(max_n, p0 + rng_span)
+        p1 = jax.random.randint(k2, (), lo, jnp.maximum(hi + 1, lo + 1))
+        # adjust degenerate picks (reference simplify.hh:85-99)
+        near = jnp.abs(p0 - p1) < 2
+        p1 = jnp.where(near & (p0 < max_n - 1), p0 + 2, p1)
+        p1 = jnp.where(near & ~(p0 < max_n - 1) & (p0 > 1), p0 - 2, p1)
+        skip = near & ~(p0 < max_n - 1) & ~(p0 > 1)
+        a = jnp.minimum(p0, p1)
+        b = jnp.maximum(p0, p1)
+        v = validate_mod.validate_motion(spec, env, path[a], path[b], num_long)
+        do = v & ~skip & (b - a >= 2)
+        shift = jnp.where(do, b - (a + 1), 0)
+        gathered = path[jnp.minimum(karange + shift, P - 1)]
+        path = jnp.where(do, jnp.where((karange <= a)[:, None], path, gathered), path)
+        n = n - shift
+        no_change = jnp.where(do, 0, no_change + 1)
+        return path, n, i + 1, no_change, changed | do, key
+
+    def cond(carry):
+        _, n, i, no_change, _, _ = carry
+        return ((i < max_steps) | (no_change < max_empty)) & (n >= 3) & (i < 4 * max_steps + 4 * max_empty)
+
+    path, length, _, _, changed, _ = jax.lax.while_loop(
+        cond, body, (path, length, jnp.int32(0), jnp.int32(0), jnp.asarray(False), key)
+    )
+    return path, length, changed
+
+
+def _perturb(spec, env, path, length, s: SimplifySettings, key, num_long):
+    """Randomized vertex perturbation toward lower cost (simplify.hh:143-190)."""
+    P, d = path.shape
+    lows = jnp.asarray(spec.limits_low)
+    highs = jnp.asarray(spec.limits_high)
+    max_steps = s.perturb_max_steps if s.perturb_max_steps else P
+    max_empty = s.perturb_max_empty_steps if s.perturb_max_empty_steps else P
+
+    def body(carry):
+        path, i, no_change, changed, key = carry
+        key, k1, k2 = jax.random.split(key, 3)
+        idx = jax.random.randint(k1, (), 1, jnp.maximum(length - 1, 2))
+        cur, before, after = path[idx], path[idx - 1], path[idx + 1]
+        old_cost = jnp.sqrt(jnp.sum((cur - before) ** 2)) + jnp.sqrt(
+            jnp.sum((cur - after) ** 2)
+        )
+
+        def attempt(carry2):
+            best, found, a, key2 = carry2
+            key2, ka = jax.random.split(key2)
+            target = jax.random.uniform(ka, (d,)) * (highs - lows) + lows
+            new = cur + (target - cur) * s.perturb_range
+            new_cost = jnp.sqrt(jnp.sum((new - before) ** 2)) + jnp.sqrt(
+                jnp.sum((new - after) ** 2)
+            )
+            v1 = validate_mod.validate_motion(spec, env, before, new, num_long)
+            v2 = validate_mod.validate_motion(spec, env, after, new, num_long)
+            ok = (new_cost < old_cost) & v1 & v2 & ~found
+            best = jnp.where(ok, new, best)
+            return best, found | ok, a + 1, key2
+
+        best, found, _, _ = jax.lax.while_loop(
+            lambda c: (c[2] < s.perturb_attempts) & ~c[1],
+            attempt,
+            (cur, jnp.asarray(False), jnp.int32(0), k2),
+        )
+        path = jnp.where(found, path.at[idx].set(best), path)
+        no_change = jnp.where(found, 0, no_change + 1)
+        return path, i + 1, no_change, changed | found, key
+
+    def cond(carry):
+        _, i, no_change, _, _ = carry
+        return (i < max_steps) & (no_change < max_empty) & (length >= 3)
+
+    path, _, _, changed, _ = jax.lax.while_loop(
+        cond, body, (path, jnp.int32(0), jnp.int32(0), jnp.asarray(False), key)
+    )
+    return path, length, changed
+
+
+def simplify(
+    spec: RobotSpec,
+    env: Environment,
+    path: jnp.ndarray,      # (P, d) padded path
+    length: jnp.ndarray,    # () i32
+    settings: SimplifySettings,
+    rng_key: jnp.ndarray | None = None,
+) -> SimplifyResult:
+    """Simplify one path (reference simplify.hh:192-259 driver)."""
+    s = settings
+    P, d = path.shape
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    span = float(np.linalg.norm(spec.limits_high - spec.limits_low))
+    num_long = validate_mod.n_points_bound(spec, span)
+
+    first = path[0]
+    last = path[jnp.maximum(length - 1, 0)]
+    straight = (length <= 2) | validate_mod.validate_motion(
+        spec, env, first, last, num_long
+    )
+
+    def driver(path, length):
+        def body(carry):
+            path, length, _, iters, key = carry
+            changed = jnp.asarray(False)
+            for op in s.operations:
+                if op == "shortcut":
+                    path, length, ch = _shortcut(spec, env, path, length, num_long)
+                elif op == "bspline":
+                    path, length, ch = _bspline(spec, env, path, length, s, num_long)
+                elif op == "reduce":
+                    key, sub = jax.random.split(key)
+                    path, length, ch = _reduce(spec, env, path, length, s, sub, num_long)
+                elif op == "perturb":
+                    key, sub = jax.random.split(key)
+                    path, length, ch = _perturb(spec, env, path, length, s, sub, num_long)
+                else:
+                    raise ValueError(f"unknown op {op}")
+                changed = changed | ch
+            return path, length, changed, iters + 1, key
+
+        def cond(carry):
+            _, _, changed, iters, _ = carry
+            return changed & (iters < s.max_iterations)
+
+        path, length, _, iters, _ = jax.lax.while_loop(
+            cond, body, (path, length, jnp.asarray(True), jnp.int32(0), rng_key)
+        )
+        return path, length, iters
+
+    sim_path, sim_len, iters = driver(path, length)
+
+    # straight-line result: [first, last]
+    k = jnp.arange(P)
+    straight_path = jnp.where((k == 0)[:, None], first[None], last[None])
+    out_path = jnp.where(straight, straight_path, sim_path)
+    out_len = jnp.where(straight, 2, sim_len)
+    out_path = _pad_tail(out_path, out_len)
+    return SimplifyResult(
+        path=out_path,
+        path_length=out_len,
+        cost=path_cost(out_path, out_len),
+        iterations=jnp.where(straight, 0, iters),
+    )
+
+
+def simplify_batch(spec, envs, paths, lengths, settings, rng_keys=None):
+    B = paths.shape[0]
+    if rng_keys is None:
+        rng_keys = jax.random.split(jax.random.PRNGKey(0), B)
+    return jax.vmap(
+        lambda e, p, l, k: simplify(spec, e, p, l, settings, k)
+    )(envs, paths, lengths, rng_keys)

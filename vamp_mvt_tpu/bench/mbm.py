@@ -1,0 +1,413 @@
+"""MotionBenchMaker problem suite: loading, environment building, batch runner.
+
+Replaces the reference's evaluate_mbm.py + problem_dict_to_vamp pipeline
+(scripts/evaluate_mbm.py, src/vamp/__init__.py:142-188) with a batched runner:
+every problem of a robot's suite is planned AND simplified in one jitted,
+vmapped program, so the whole 700-problem suite is a few device dispatches.
+
+Problem data comes from the MoveIt-YAML tarballs shipped with the reference
+(resources/<robot>/problems.tar.bz2, format per resources/problem_tar_to_pkl_json.py);
+set VAMP_MVT_TPU_RESOURCES to point elsewhere.  Parsed problems are cached as
+a pickle next to this package.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+import re
+import tarfile
+import time
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+from vamp_mvt_tpu.collision import environment as envmod
+from vamp_mvt_tpu.ops import fkcc
+from vamp_mvt_tpu.planning import rrtc, simplify
+from vamp_mvt_tpu.robots import registry
+
+RESOURCES = Path(os.environ.get("VAMP_MVT_TPU_RESOURCES", "/root/reference/resources"))
+
+# The 7 standard MBM scenarios making up the published 700-problem Panda suite
+# (resources/README.md:124-148); the tarball also ships *_two/*_three extras.
+STANDARD_SCENARIOS = (
+    "bookshelf_small",
+    "bookshelf_tall",
+    "bookshelf_thin",
+    "box",
+    "cage",
+    "table_pick",
+    "table_under_pick",
+)
+CACHE_DIR = Path(os.environ.get("VAMP_MVT_TPU_CACHE", Path.home() / ".cache" / "vamp_mvt_tpu"))
+
+try:
+    from yaml import CLoader as _Loader
+except ImportError:  # pragma: no cover
+    from yaml import SafeLoader as _Loader
+
+
+# ---------------------------------------------------------------------------
+# Problem parsing (mirrors resources/problem_tar_to_pkl_json.py semantics)
+# ---------------------------------------------------------------------------
+
+
+def _quat_matrix(q):
+    """xyzw-ordered? MoveIt YAML stores [x, y, z, w]."""
+    x, y, z, w = q
+    n = np.sqrt(x * x + y * y + z * z + w * w)
+    if n == 0:
+        return np.eye(3)
+    x, y, z, w = x / n, y / n, z / n, w / n
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def _euler_xyz_from_matrix(R):
+    """Euler XYZ (rho, theta, phi) with R = Rz(phi) Ry(theta) Rx(rho)."""
+    theta = -np.arcsin(np.clip(R[2, 0], -1.0, 1.0))
+    c = np.cos(theta)
+    if abs(c) > 1e-8:
+        rho = np.arctan2(R[2, 1], R[2, 2])
+        phi = np.arctan2(R[1, 0], R[0, 0])
+    else:
+        rho = np.arctan2(-R[1, 2], R[1, 1])
+        phi = 0.0
+    return [float(rho), float(theta), float(phi)]
+
+
+def _tf(obj):
+    pos = np.asarray(obj["position"], dtype=float)
+    R = _quat_matrix(obj["orientation"])
+    return pos, R
+
+
+def _scene_objects(data):
+    objects = {"sphere": [], "cylinder": [], "box": []}
+    for co in data["world"]["collision_objects"]:
+        base_p, base_r = (np.zeros(3), np.eye(3))
+        if "pose" in co:
+            base_p, base_r = _tf(co["pose"])
+        prim = co["primitives"][0]
+        pp, pr = _tf(co["primitive_poses"][0])
+        pos = base_r @ pp + base_p
+        R = base_r @ pr
+        obj = {
+            "name": co["id"],
+            "position": pos.tolist(),
+            "orientation_euler_xyz": _euler_xyz_from_matrix(R),
+        }
+        t = prim["type"]
+        if t == "sphere":
+            obj["radius"] = float(prim["dimensions"][0])
+        elif t == "cylinder":
+            obj["length"] = float(prim["dimensions"][0])
+            obj["radius"] = float(prim["dimensions"][1])
+        elif t == "box":
+            obj["half_extents"] = [float(x) / 2 for x in prim["dimensions"]]
+        else:
+            raise RuntimeError(f"invalid primitive {t}")
+        objects[{"sphere": "sphere", "cylinder": "cylinder", "box": "box"}[t]].append(obj)
+    return objects
+
+
+def _request(data, joints):
+    js = data["start_state"]["joint_state"]
+    start = [js["position"][js["name"].index(j)] for j in joints]
+    cons = data["goal_constraints"][0]["joint_constraints"]
+    names = [c["joint_name"] for c in cons]
+    pos = [c["position"] for c in cons]
+    goal = [pos[names.index(j)] for j in joints]
+    return {"start": start, "goals": [goal]}
+
+
+def load_problems(robot: str, use_cache: bool = True) -> dict:
+    """Parse resources/<robot>/problems.tar.bz2 into the reference pkl layout."""
+    CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    cache = CACHE_DIR / f"{robot}_problems.pkl"
+    if use_cache and cache.exists():
+        with open(cache, "rb") as f:
+            return pickle.load(f)
+
+    spec = registry.load(robot)
+    joints = list(spec.joint_names)
+    scenes, requests = defaultdict(list), defaultdict(list)
+    tar = tarfile.open(RESOURCES / robot / "problems.tar.bz2", "r:bz2")
+    for member in tar.getmembers():
+        if not member.isfile():
+            continue
+        f = tar.extractfile(member)
+        _, problem, filename = member.name.split("/")
+        problem = problem.replace(f"_{robot}", "")
+        data = yaml.load(f.read(), Loader=_Loader)
+        index = int(re.findall(r"\d+", filename)[0])
+        meta = {"index": index, "problem": problem}
+        if "scene" in filename:
+            scenes[problem].append(_scene_objects(data) | meta)
+        elif "request" in filename:
+            requests[problem].append(_request(data, joints) | meta)
+
+    out = {"robot": robot, "joints": joints, "problems": {}}
+    for k in scenes:
+        out["problems"][k] = [
+            {**s, **r}
+            for s, r in zip(
+                sorted(scenes[k], key=lambda e: e["index"]),
+                sorted(requests[k], key=lambda e: e["index"]),
+            )
+        ]
+    with open(cache, "wb") as f:
+        pickle.dump(out, f)
+    return out
+
+
+def problem_to_builder(problem: dict) -> envmod.EnvironmentBuilder:
+    """Environment construction, mirroring problem_dict_to_vamp
+    (reference src/vamp/__init__.py:142-188, incl. the 'box' problem's
+    cylinder->cuboid overapproximation hack)."""
+    b = envmod.EnvironmentBuilder()
+    for obj in problem["sphere"]:
+        b.add_sphere(obj["position"], obj["radius"])
+    if problem["problem"] == "box":
+        for obj in problem["cylinder"]:
+            b.add_cuboid(
+                envmod.make_cuboid(
+                    obj["position"],
+                    obj["orientation_euler_xyz"],
+                    [obj["radius"], obj["radius"], obj["length"] / 2],
+                )
+            )
+    else:
+        for obj in problem["cylinder"]:
+            b.add_capsule(
+                envmod.make_capsule_center(
+                    obj["position"],
+                    obj["orientation_euler_xyz"],
+                    obj["radius"],
+                    obj["length"],
+                )
+            )
+    for obj in problem["box"]:
+        b.add_cuboid(
+            envmod.make_cuboid(
+                obj["position"], obj["orientation_euler_xyz"], obj["half_extents"]
+            )
+        )
+    return b
+
+
+# ---------------------------------------------------------------------------
+# Batch assembly and runner
+# ---------------------------------------------------------------------------
+
+
+def build_batch(problems: list[dict]):
+    """Stack per-problem environments padded to common capacities."""
+    builders = [problem_to_builder(p) for p in problems]
+    caps = {
+        "n_spheres": max((len(b.spheres) for b in builders), default=0),
+        "n_capsules": max((len(b.capsules) for b in builders), default=0),
+        "n_z_capsules": max((len(b.z_capsules) for b in builders), default=0),
+        "n_cuboids": max((len(b.cuboids) for b in builders), default=0),
+        "n_z_cuboids": max((len(b.z_cuboids) for b in builders), default=0),
+    }
+    envs = envmod.stack_environments([b.build(**caps) for b in builders])
+
+    G = max(len(p["goals"]) for p in problems)
+    d = len(problems[0]["start"])
+    starts = np.zeros((len(problems), d), np.float32)
+    goals = np.zeros((len(problems), G, d), np.float32)
+    masks = np.zeros((len(problems), G), bool)
+    for i, p in enumerate(problems):
+        starts[i] = p["start"]
+        for g, goal in enumerate(p["goals"]):
+            goals[i, g] = goal
+            masks[i, g] = True
+    return envs, jnp.asarray(starts), jnp.asarray(goals), jnp.asarray(masks)
+
+
+def validate_configs(spec, envs, configs):
+    """Config validity: joint limits + self/env collision
+    (reference bindings/robot_helper.hh:255-267)."""
+    lo = jnp.asarray(spec.limits_low)
+    hi = jnp.asarray(spec.limits_high)
+    in_bounds = jnp.all((configs >= lo) & (configs <= hi), axis=-1)
+    free = jax.vmap(lambda e, q: fkcc.fkcc(spec, e, q[None])[0])(envs, configs)
+    return in_bounds & free
+
+
+class SuiteResult:
+    def __init__(self, names, plan_res, simp_res, valid, plan_time, simp_time):
+        self.names = names
+        self.plan = plan_res
+        self.simplified = simp_res
+        self.valid = np.asarray(valid)
+        self.plan_time = plan_time
+        self.simp_time = simp_time
+
+    def summary(self) -> dict:
+        solved = np.asarray(self.plan.solved) & self.valid
+        total = len(self.valid)
+        n_valid = int(self.valid.sum())
+        n_solved = int(solved.sum())
+        init_cost = np.asarray(self.plan.cost)[solved]
+        simp_cost = np.asarray(self.simplified.cost)[solved]
+        iters = np.asarray(self.plan.iterations)[solved]
+        return {
+            "total_problems": total,
+            "valid_problems": n_valid,
+            "solved_problems": n_solved,
+            "solve_rate": n_solved / max(n_valid, 1),
+            "median_initial_cost": float(np.median(init_cost)) if n_solved else None,
+            "median_simplified_cost": float(np.median(simp_cost)) if n_solved else None,
+            "median_iterations": float(np.median(iters)) if n_solved else None,
+            "plan_wall_s": self.plan_time,
+            "simplify_wall_s": self.simp_time,
+            "problems_per_sec": total / max(self.plan_time + self.simp_time, 1e-9),
+        }
+
+
+def _tree_concat(results):
+    return jax.tree_util.tree_map(lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *results)
+
+
+def run_suite(
+    robot: str = "panda",
+    problem_names=None,
+    settings: rrtc.RRTCSettings | None = None,
+    simp_settings: simplify.SimplifySettings | None = None,
+    max_problems: int | None = None,
+    batch_size: int = 100,
+    warmup: bool = True,
+) -> SuiteResult:
+    """Plan + simplify a whole MBM suite as batched device programs.
+
+    Problems run in fixed-size batches (padded by repeating the last problem)
+    through one compiled plan/simplify pair; batching bounds device memory for
+    the simplification pair-validation kernels.
+    """
+    spec = registry.load(robot)
+    if settings is None:
+        settings = rrtc.RRTCSettings(
+            range=registry.RRT_RANGES.get(robot, 1.0),
+            max_iterations=4096,
+            max_samples=4096,
+            max_path=96,
+            samples_per_step=8,
+            connect_segments=4,
+        )
+    if simp_settings is None:
+        simp_settings = simplify.SimplifySettings(
+            pair_chunk=64 if jax.default_backend() == "cpu" else None
+        )
+    # straggler phase: rerun unsolved problems with a larger sample budget
+    retry_settings = dataclasses.replace(
+        settings,
+        max_iterations=16 * settings.max_iterations,
+        max_samples=16 * settings.max_samples,
+    )
+
+    data = load_problems(robot)
+    problems, names = [], []
+    for pname, plist in data["problems"].items():
+        if problem_names and pname not in problem_names:
+            continue
+        for p in plist:
+            problems.append(p)
+            names.append((pname, p["index"]))
+    if max_problems:
+        problems, names = problems[:max_problems], names[:max_problems]
+
+    n_real = len(problems)
+    pad = (-n_real) % batch_size
+    problems = problems + [problems[-1]] * pad
+
+    envs, starts, goals, masks = build_batch(problems)
+
+    # validity of start & at least one goal (reference robot_helper.hh:255-267)
+    valid_start = validate_configs(spec, envs, starts)
+    lo, hi = jnp.asarray(spec.limits_low), jnp.asarray(spec.limits_high)
+    goal_bounds = jnp.all((goals >= lo) & (goals <= hi), axis=-1)
+    valid_goal = jax.jit(
+        jax.vmap(
+            lambda e, g, m: jnp.any(
+                jax.vmap(lambda q: fkcc.fkcc(spec, e, q[None])[0])(g) & m
+            )
+        )
+    )(envs, goals, masks & goal_bounds)
+    valid = np.asarray(valid_start & valid_goal)[:n_real]
+
+    plan_fn = jax.jit(
+        lambda e, s, g, m: rrtc.plan_batch(spec, e, s, g, m, settings)
+    )
+    simp_fn = jax.jit(
+        lambda e, p, l: simplify.simplify_batch(spec, e, p, l, simp_settings)
+    )
+
+    def batches(arr):
+        return [
+            jax.tree_util.tree_map(lambda a: a[i : i + batch_size], arr)
+            for i in range(0, len(problems), batch_size)
+        ]
+
+    env_b = batches(envs)
+    st_b, gl_b, mk_b = batches(starts), batches(goals), batches(masks)
+
+    if warmup:  # compile outside the timed region
+        r = plan_fn(env_b[0], st_b[0], gl_b[0], mk_b[0])
+        jax.block_until_ready(r)
+        sr = simp_fn(env_b[0], r.path, r.path_length)
+        jax.block_until_ready(sr)
+
+    retry_fn = jax.jit(
+        lambda e, s, g, m: rrtc.plan_batch(spec, e, s, g, m, retry_settings)
+    )
+
+    plan_parts, simp_parts = [], []
+    t_plan = t_simp = 0.0
+    for e, s_, g, m in zip(env_b, st_b, gl_b, mk_b):
+        t0 = time.perf_counter()
+        pr = plan_fn(e, s_, g, m)
+        jax.block_until_ready(pr)
+        unsolved = ~np.asarray(pr.solved)
+        if unsolved.any():
+            # rerun stragglers with a 16x budget (pad by repeating)
+            idx = np.flatnonzero(unsolved)
+            take = np.resize(idx, max(8, len(idx)))
+            sub = jax.tree_util.tree_map(lambda a: a[take], (e, s_, g, m))
+            rr = retry_fn(*sub)
+            jax.block_until_ready(rr)
+            merged = {}
+            for field in pr._fields:
+                arr = np.asarray(getattr(pr, field))
+                arr[idx] = np.asarray(getattr(rr, field))[: len(idx)]
+                merged[field] = jnp.asarray(arr)
+            pr = rrtc.RRTCResult(**merged)
+        t1 = time.perf_counter()
+        sr = simp_fn(e, pr.path, pr.path_length)
+        jax.block_until_ready(sr)
+        t2 = time.perf_counter()
+        t_plan += t1 - t0
+        t_simp += t2 - t1
+        plan_parts.append(pr)
+        simp_parts.append(sr)
+
+    plan_res = jax.tree_util.tree_map(
+        lambda x: x[:n_real], _tree_concat(plan_parts)
+    )
+    simp_res = jax.tree_util.tree_map(
+        lambda x: x[:n_real], _tree_concat(simp_parts)
+    )
+    return SuiteResult(names, plan_res, simp_res, valid, t_plan, t_simp)

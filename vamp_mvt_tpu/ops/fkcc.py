@@ -50,16 +50,12 @@ def self_collision(spec: RobotSpec, centers: jnp.ndarray) -> jnp.ndarray:
     thr = jnp.asarray(_THRESH_CACHE[key])
     if thr.size == 0 or not np.isfinite(_THRESH_CACHE[key]).any():
         return jnp.zeros(centers.shape[:-2], dtype=bool)
-    # |a-b|^2 = |a|^2 + |b|^2 - 2 a.b ; the a.b term is one batched matmul.
-    # Full f32 precision: the default TPU matmul is bf16-class, whose ~0.4%
-    # error flips borderline contacts (the reference computes in f32).
-    sq = jnp.sum(centers * centers, axis=-1)
-    dots = jnp.matmul(
-        centers,
-        jnp.swapaxes(centers, -1, -2),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    d2 = sq[..., :, None] + sq[..., None, :] - 2.0 * dots
+    # Pure-elementwise pairwise distances: XLA fuses the compare+reduce into
+    # the producer loop, avoiding both the bf16-precision matmul (whose ~0.4%
+    # error flips borderline contacts; the reference computes in f32) and the
+    # materialization of the (S, S) matrix per configuration.
+    diff = centers[..., :, None, :] - centers[..., None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
     return jnp.any(d2 < thr, axis=(-2, -1))
 
 
@@ -96,13 +92,29 @@ def env_collision(
     return out
 
 
-def fkcc(spec: RobotSpec, env: Environment, q: jnp.ndarray) -> jnp.ndarray:
+def fkcc(
+    spec: RobotSpec,
+    env: Environment,
+    q: jnp.ndarray,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
     """(..., d) configurations -> (...) bool, True = collision-free.
 
     Equivalent of Robot::fkcc (reference robots/panda.hh:5226): FK to sphere
     centers, environment checks for all robot spheres, and self-collision for
     the robot's checked pair set.
+
+    On TPU, dispatches to the fused Pallas kernel (ops/kernels/fkcc_pallas.py)
+    when the environment supports it; the XLA-composed path below is the
+    portable fallback (CPU tests, heightfields) and the numerical reference.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        from vamp_mvt_tpu.ops.kernels import fkcc_pallas as fp
+
+        if fp.supports(env):
+            return fp.fkcc_hot(spec, env, q)
     centers = sphere_positions(spec, q)
     radii = jnp.asarray(spec.sphere_radius)
     bad = env_collision(env, centers, radii) | self_collision(spec, centers)

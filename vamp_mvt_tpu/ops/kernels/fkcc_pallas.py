@@ -1,0 +1,297 @@
+"""Fused FK + collision-check Pallas kernel — the framework's hot kernel.
+
+The XLA-composed fkcc (ops/fkcc.py) materializes (N, S, 3) sphere centers with
+tiny minor dimensions (3 in lanes = 2% lane utilization) and a (S, S)
+self-collision matrix per configuration.  This kernel is the TPU-native
+re-derivation of the reference's rake-SIMD `fkcc` (robots/panda.hh:5226):
+configurations live in the LANE dimension — each scalar of the FK/collision
+program is an (8, 128) tile of 1024 configurations — so every op runs at full
+VPU width, exactly like the reference's 8-wide AVX2 struct-of-arrays code but
+128x wider, with zero intermediate materialization in HBM.
+
+Layout: q (N, d) is transposed/reshaped host-side to (d, G, 8, 128) with
+N = G*1024 (padded).  Each grid step g computes validity for its 1024 configs:
+  - FK: the smat trace-time-folded program over (8, 128) tiles
+  - environment: dynamic fori_loop over each shape array (params read from
+    SMEM as scalars), all 59 spheres unrolled per shape
+  - self-collision: the robot's exact pair table unrolled (static indices
+    resolve to SSA values; radii thresholds are compile-time constants)
+
+Heightfields are not supported here (the XLA path handles them); callers fall
+back automatically (see ops/fkcc.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vamp_mvt_tpu.collision.environment import Environment
+from vamp_mvt_tpu.ops import smat
+from vamp_mvt_tpu.robots.spec import PRISMATIC, REVOLUTE, RobotSpec
+
+BLOCK = 1024  # configs per grid step: one (8, 128) tile per scalar
+
+
+def _fk_centers(spec: RobotSpec, q_rows):
+    """FK over (8,128) tiles; returns per-sphere (cx, cy, cz) traced values."""
+    trig = {}
+    for f in spec.frames:
+        if f.joint_type == REVOLUTE and f.q_index not in trig:
+            x = q_rows[f.q_index]
+            trig[f.q_index] = (jnp.cos(x), jnp.sin(x))
+
+    poses = []
+    for f in spec.frames:
+        if f.parent < 0:
+            R = smat.const_mat(f.origin_rot)
+            t = smat.const_vec(f.origin_xyz)
+        else:
+            Rp, tp = poses[f.parent]
+            R = smat.matmul(Rp, smat.const_mat(f.origin_rot))
+            t = smat.vecadd(smat.matvec(Rp, smat.const_vec(f.origin_xyz)), tp)
+        if f.joint_type == REVOLUTE:
+            c, s = trig[f.q_index]
+            R = smat.matmul(R, smat.axis_rotation(f.axis, c, s))
+        elif f.joint_type == PRISMATIC:
+            t = smat.vecadd(
+                t, smat.vecscale(smat.matvec(R, smat.const_vec(f.axis)), q_rows[f.q_index])
+            )
+        poses.append((R, t))
+
+    centers = []
+    for k in range(spec.n_spheres):
+        R, t = poses[int(spec.sphere_frame[k])]
+        p = smat.vecadd(smat.matvec(R, smat.const_vec(spec.sphere_local[k])), t)
+        centers.append(p)
+    return centers
+
+
+def _broadcast_tile(e):
+    if smat.is_const(e):
+        return jnp.full((8, 128), e, jnp.float32)
+    return e
+
+
+def _make_kernel(spec: RobotSpec, counts: dict[str, int]):
+    radii = [float(r) for r in spec.sphere_radius]
+    pairs = [(int(i), int(j)) for i, j in spec.self_collision_pairs]
+    pair_thr = {
+        (i, j): float((spec.sphere_radius[i] + spec.sphere_radius[j]) ** 2)
+        for i, j in pairs
+    }
+    S = spec.n_spheres
+
+    def kernel(sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref, q_ref, out_ref):
+        q_rows = [q_ref[0, j, 0] for j in range(spec.dimension)]  # (8,128) each
+        centers = _fk_centers(spec, q_rows)
+        cx = [_broadcast_tile(c[0]) for c in centers]
+        cy = [_broadcast_tile(c[1]) for c in centers]
+        cz = [_broadcast_tile(c[2]) for c in centers]
+
+        # Track the minimum signed value over all checks (collision iff < 0);
+        # f32 loop carries avoid Mosaic's vector-bool loop-carry limitation.
+        vmin = jnp.full((8, 128), jnp.float32(jnp.inf))
+
+        # --- environment: dynamic loop per shape, spheres unrolled ---------
+        def sphere_body(n, m):
+            sx, sy, sz, sr = (sph_ref[0, n, i] for i in range(4))
+            for k in range(S):
+                d2 = (cx[k] - sx) ** 2 + (cy[k] - sy) ** 2 + (cz[k] - sz) ** 2
+                rs = radii[k] + sr
+                m = jnp.minimum(m, d2 - rs * rs)
+            return m
+
+        def capsule_body(n, m, z_aligned):
+            ref = zcap_ref if z_aligned else cap_ref
+            x1, y1, z1, xv, yv, zv, r, rdv = (ref[0, n, i] for i in range(8))
+            for k in range(S):
+                if z_aligned:
+                    dot = (cz[k] - z1) * zv
+                else:
+                    dot = (cx[k] - x1) * xv + (cy[k] - y1) * yv + (cz[k] - z1) * zv
+                t = jnp.clip(dot * rdv, 0.0, 1.0)
+                if z_aligned:
+                    d2 = (cx[k] - x1) ** 2 + (cy[k] - y1) ** 2 + (cz[k] - (z1 + zv * t)) ** 2
+                else:
+                    d2 = (
+                        (cx[k] - (x1 + xv * t)) ** 2
+                        + (cy[k] - (y1 + yv * t)) ** 2
+                        + (cz[k] - (z1 + zv * t)) ** 2
+                    )
+                rs = radii[k] + r
+                m = jnp.minimum(m, d2 - rs * rs)
+            return m
+
+        def cuboid_body(n, m, z_aligned):
+            ref = zcub_ref if z_aligned else cub_ref
+            (bx, by, bz, a1x, a1y, a1z, a2x, a2y, a2z, a3x, a3y, a3z, h1, h2, h3) = (
+                ref[0, n, i] for i in range(15)
+            )
+            for k in range(S):
+                xs, ys, zs = cx[k] - bx, cy[k] - by, cz[k] - bz
+                if z_aligned:
+                    p1 = jnp.maximum(jnp.abs(a1x * xs + a1y * ys) - h1, 0.0)
+                    p2 = jnp.maximum(jnp.abs(a2x * xs + a2y * ys) - h2, 0.0)
+                    p3 = jnp.maximum(jnp.abs(zs) - h3, 0.0)
+                else:
+                    p1 = jnp.maximum(jnp.abs(a1x * xs + a1y * ys + a1z * zs) - h1, 0.0)
+                    p2 = jnp.maximum(jnp.abs(a2x * xs + a2y * ys + a2z * zs) - h2, 0.0)
+                    p3 = jnp.maximum(jnp.abs(a3x * xs + a3y * ys + a3z * zs) - h3, 0.0)
+                d2 = p1 * p1 + p2 * p2 + p3 * p3
+                m = jnp.minimum(m, d2 - radii[k] * radii[k])
+            return m
+
+        if counts["spheres"]:
+            vmin = jax.lax.fori_loop(0, counts["spheres"], sphere_body, vmin)
+        if counts["capsules"]:
+            vmin = jax.lax.fori_loop(
+                0, counts["capsules"], lambda n, m: capsule_body(n, m, False), vmin
+            )
+        if counts["z_capsules"]:
+            vmin = jax.lax.fori_loop(
+                0, counts["z_capsules"], lambda n, m: capsule_body(n, m, True), vmin
+            )
+        if counts["cuboids"]:
+            vmin = jax.lax.fori_loop(
+                0, counts["cuboids"], lambda n, m: cuboid_body(n, m, False), vmin
+            )
+        if counts["z_cuboids"]:
+            vmin = jax.lax.fori_loop(
+                0, counts["z_cuboids"], lambda n, m: cuboid_body(n, m, True), vmin
+            )
+
+        # --- self collision: exact pair table, fully unrolled --------------
+        for (i, j) in pairs:
+            d2 = (cx[i] - cx[j]) ** 2 + (cy[i] - cy[j]) ** 2 + (cz[i] - cz[j]) ** 2
+            vmin = jnp.minimum(vmin, d2 - pair_thr[(i, j)])
+
+        out_ref[0, 0] = (vmin >= 0.0).astype(jnp.int8)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _run(spec, sph, cap, zcap, cub, zcub, qg):
+    """Batched launch: env leaves (B, n, f), qg (B, d, G, 8, 128).
+
+    Grid is (B*G,); each step processes one (8,128)-tile block of 1024
+    configurations for one problem, fetching that problem's (small) shape
+    tables into SMEM.  Returns (B, G, 8, 128) int8 validity.
+    """
+    counts = {
+        "spheres": sph.shape[-2],
+        "capsules": cap.shape[-2],
+        "z_capsules": zcap.shape[-2],
+        "cuboids": cub.shape[-2],
+        "z_cuboids": zcub.shape[-2],
+    }
+    kernel = _make_kernel(spec, counts)
+    B, d, G = qg.shape[0], qg.shape[1], qg.shape[2]
+
+    def smem_spec(n, f):
+        return pl.BlockSpec(
+            (1, n, f), lambda g: (g // G, 0, 0), memory_space=pltpu.SMEM
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B * G,),
+        in_specs=[
+            smem_spec(max(counts["spheres"], 1), 4),
+            smem_spec(max(counts["capsules"], 1), 8),
+            smem_spec(max(counts["z_capsules"], 1), 8),
+            smem_spec(max(counts["cuboids"], 1), 15),
+            smem_spec(max(counts["z_cuboids"], 1), 15),
+            pl.BlockSpec(
+                (1, d, 1, 8, 128),
+                lambda g: (g // G, 0, g % G, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 8, 128), lambda g: (g // G, g % G, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int8),
+    )(
+        _pad_rows(sph), _pad_rows(cap), _pad_rows(zcap), _pad_rows(cub),
+        _pad_rows(zcub), qg,
+    )
+
+
+def _pad_rows(a):
+    if a.shape[-2] == 0:
+        return jnp.zeros(a.shape[:-2] + (1,) + a.shape[-1:], a.dtype)
+    return a
+
+
+def supports(env: Environment) -> bool:
+    """This kernel handles primitive shapes only (no heightfields)."""
+    return env.hf_meta.shape[-2] == 0
+
+
+def fkcc_pallas_batched(
+    spec: RobotSpec, envs: Environment, q: jnp.ndarray
+) -> jnp.ndarray:
+    """q (B, ..., d) with per-problem envs (B, ...) -> (B, ...) bool validity."""
+    B = q.shape[0]
+    inner = q.shape[1:-1]
+    n = int(np.prod(inner)) if inner else 1
+    G = max((n + BLOCK - 1) // BLOCK, 1)
+    qf = q.reshape(B, n, spec.dimension)
+    pad = G * BLOCK - n
+    qf = jnp.concatenate(
+        [qf, jnp.zeros((B, pad, spec.dimension), qf.dtype)], axis=1
+    )
+    # (B, N, d) -> (B, d, G, 8, 128)
+    qg = jnp.swapaxes(qf, 1, 2).reshape(B, spec.dimension, G, 8, 128)
+    out = _run(
+        spec, envs.spheres, envs.capsules, envs.z_capsules, envs.cuboids,
+        envs.z_cuboids, qg,
+    )
+    return out.reshape(B, G * BLOCK)[:, :n].reshape((B,) + inner).astype(bool)
+
+
+def fkcc_pallas(spec: RobotSpec, env: Environment, q: jnp.ndarray) -> jnp.ndarray:
+    """(..., d) configurations, single environment -> (...) bool validity."""
+    batch = q.shape[:-1]
+    env1 = jax.tree_util.tree_map(lambda a: a[None], env)
+    out = fkcc_pallas_batched(spec, env1, q.reshape(1, -1, spec.dimension))
+    return out.reshape(batch)
+
+
+_VMAP_CACHE: dict[int, object] = {}
+
+
+def fkcc_hot(spec: RobotSpec, env: Environment, q: jnp.ndarray) -> jnp.ndarray:
+    """Single-problem fkcc with a custom vmap rule that lowers a problem batch
+    to ONE batched kernel launch (vmapping pallas_call directly serializes)."""
+    key = id(spec)
+    if key not in _VMAP_CACHE:
+
+        @jax.custom_batching.custom_vmap
+        def f(env, q):
+            return fkcc_pallas(spec, env, q)
+
+        @f.def_vmap
+        def _rule(axis_size, in_batched, env, q):
+            env_b, q_b = in_batched
+            env = jax.tree_util.tree_map(
+                lambda leaf, b: leaf
+                if b
+                else jnp.broadcast_to(leaf[None], (axis_size,) + leaf.shape),
+                env,
+                env_b,
+            )
+            if not q_b:
+                q = jnp.broadcast_to(q[None], (axis_size,) + q.shape)
+            out = fkcc_pallas_batched(spec, env, q)
+            return out, True
+
+        _VMAP_CACHE[key] = f
+    return _VMAP_CACHE[key](env, q)

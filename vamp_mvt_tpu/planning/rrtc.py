@@ -1,20 +1,27 @@
 """Dynamic-domain balanced bidirectional RRT-Connect, TPU-batched.
 
 Re-derives the reference planner (src/impl/vamp/planning/rrtc.hh:16-247) as a
-uniform-step state machine over fixed-capacity device buffers, so that a batch
-of problems runs in lockstep under vmap/jit with exactly ONE fused FK+CC edge
-validation per problem per step:
+uniform-step state machine over fixed-capacity device buffers, so a batch of
+problems runs in lockstep under vmap/jit.
 
-  - GROW step: balance-swap trees, draw a Halton sample, masked brute-force
-    nearest neighbor (replacing the nigh kd-tree, planning/nn.hh:89), dynamic-
-    domain rejection, validate the extension, insert, then set up the greedy
-    connect toward the other tree.
-  - CONNECT step: validate one `range`-length increment of the connect chain
-    (rrtc.hh:169-191); success inserts a chain node, failure returns to GROW.
+Throughput redesign vs the reference's strictly sequential loop (one sample,
+one validation per iteration):
 
-The reference's per-iteration semantics (sample consumption, dynamic-domain
-radius updates, tree balancing, connect chaining, parent bookkeeping) are
-mirrored so solve rates and paths are comparable at equal sample sequences.
+  - GROW steps draw K = samples_per_step consecutive Halton samples at once,
+    run K nearest-neighbor queries against the tree buffer (masked brute
+    force, replacing the nigh kd-tree of planning/nn.hh:89), and validate all
+    K extensions in ONE fused FK+CC kernel, inserting every valid extension.
+    K = 1 reproduces the reference's per-iteration semantics (sample
+    consumption order, dynamic-domain updates, balancing).
+  - CONNECT steps advance the greedy connect chain (rrtc.hh:169-191) by up to
+    C = connect_segments `range`-length increments per step: the increments'
+    interpolation grids are validated together, and the valid PREFIX of
+    increments is inserted — exactly the reference's partial-progress
+    behavior, C increments at a time.
+
+The batch dimension is problems; all per-step work (sampling, NN, validation,
+scatter inserts) is dense masked compute, the TPU-native replacement for the
+reference's rake-SIMD inner loop + branchy planner outer loop.
 
 All functions are single-problem; batch with jax.vmap (see plan_batch).
 """
@@ -29,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from vamp_mvt_tpu.collision.environment import Environment
+from vamp_mvt_tpu.ops.fkcc import fkcc
 from vamp_mvt_tpu.planning import validate as validate_mod
 from vamp_mvt_tpu.robots.spec import RobotSpec
 from vamp_mvt_tpu.sampling.halton import halton
@@ -38,7 +46,7 @@ _INF = jnp.float32(jnp.inf)
 
 @dataclasses.dataclass(frozen=True)
 class RRTCSettings:
-    """Mirrors reference rrtc_settings.hh:5-20 (static at trace time)."""
+    """Reference rrtc_settings.hh:5-20 plus TPU batching knobs (static)."""
 
     range: float = 2.0
     dynamic_domain: bool = True
@@ -47,10 +55,12 @@ class RRTCSettings:
     min_radius: float = 1.0
     balance: bool = True
     tree_ratio: float = 1.0
-    max_iterations: int = 2048
-    max_samples: int = 2048  # node buffer capacity M
+    max_iterations: int = 2048   # sample budget (reference semantics)
+    max_samples: int = 2048      # node buffer capacity M
     start_tree_first: bool = True
-    max_path: int = 256  # path buffer capacity P
+    max_path: int = 256          # path buffer capacity P
+    samples_per_step: int = 1    # K parallel extensions per step (1 = reference)
+    connect_segments: int = 1    # C connect increments per step (1 = reference)
 
 
 class RRTCResult(NamedTuple):
@@ -58,10 +68,10 @@ class RRTCResult(NamedTuple):
     path: jnp.ndarray        # (P, d) padded with the last vertex
     path_length: jnp.ndarray # () i32 number of vertices
     cost: jnp.ndarray        # () f32 L2 path cost
-    iterations: jnp.ndarray  # () i32
+    iterations: jnp.ndarray  # () i32 samples consumed
     size_start: jnp.ndarray  # () i32
     size_goal: jnp.ndarray   # () i32
-    sample_count: jnp.ndarray  # () i32 Halton samples consumed
+    sample_count: jnp.ndarray  # () i32
 
 
 class _State(NamedTuple):
@@ -73,14 +83,13 @@ class _State(NamedTuple):
     size_start: jnp.ndarray
     size_goal: jnp.ndarray
     a_is_start: jnp.ndarray  # () bool — which tree is tree_a
-    iters: jnp.ndarray     # () i32
-    sample_idx: jnp.ndarray  # () i32 (next 1-based Halton index to use)
+    iters: jnp.ndarray     # () i32 samples consumed
+    sample_idx: jnp.ndarray  # () i32 next 1-based Halton index
     connect: jnp.ndarray   # () bool — in connect mode
     c_tip: jnp.ndarray     # () i32 chain tip node index
     c_inc: jnp.ndarray     # (d,) connect increment
     c_inc_len: jnp.ndarray # () f32
-    c_n_ext: jnp.ndarray   # () i32
-    c_i_ext: jnp.ndarray   # () i32
+    c_remaining: jnp.ndarray  # () i32 increments left in the chain
     c_other: jnp.ndarray   # () i32 target node in tree_b
     done: jnp.ndarray      # () bool
     junction_a: jnp.ndarray  # () i32
@@ -88,16 +97,13 @@ class _State(NamedTuple):
     a_start_at_join: jnp.ndarray  # () bool
 
 
-def _nearest(configs, mask, q):
-    d2 = jnp.sum((configs - q) ** 2, axis=-1)
-    d2 = jnp.where(mask, d2, _INF)
-    idx = jnp.argmin(d2)
-    return idx, jnp.sqrt(d2[idx])
-
-
 def _make_step(spec: RobotSpec, s: RRTCSettings, env: Environment, num_points: int):
-    M = s.max_samples
+    M, K, C = s.max_samples, s.samples_per_step, s.connect_segments
+    d = spec.dimension
     arange_m = jnp.arange(M)
+    lows = jnp.asarray(spec.limits_low)
+    spans = jnp.asarray(spec.limits_high - spec.limits_low)
+    dyn = jnp.asarray(s.dynamic_domain)
 
     def step(st: _State) -> _State:
         grow = ~st.connect
@@ -109,119 +115,156 @@ def _make_step(spec: RobotSpec, s: RRTCSettings, env: Environment, num_points: i
         do_swap = grow & ((not s.balance) | (ratio < s.tree_ratio))
         a_is_start = jnp.where(do_swap, ~st.a_is_start, st.a_is_start)
 
-        # --- sample (grow mode consumes one Halton index)
-        unit = halton(st.sample_idx, spec.dimension)
-        sample = unit * (spec.limits_high - spec.limits_low) + spec.limits_low
-        sample_idx = st.sample_idx + grow.astype(jnp.int32)
+        # =============================== GROW ===============================
+        # K consecutive Halton samples (rrtc.hh:110; random/halton.hh:75-108)
+        samples = halton(st.sample_idx + jnp.arange(K), d) * spans + lows  # (K, d)
 
-        # --- nearest in tree_a (rrtc.hh:114)
         node_mask = arange_m < st.n_nodes
         mask_a = node_mask & (st.in_start == a_is_start)
-        nearest, nearest_dist = _nearest(st.configs, mask_a, sample)
-        nearest_cfg = st.configs[nearest]
+        mask_b = node_mask & (st.in_start != a_is_start)
+
+        # nearest in tree_a for each sample: (K, M)
+        d2a = jnp.sum((st.configs[None] - samples[:, None]) ** 2, axis=-1)
+        d2a = jnp.where(mask_a[None], d2a, _INF)
+        nearest = jnp.argmin(d2a, axis=-1)                       # (K,)
+        nearest_dist = jnp.sqrt(jnp.take_along_axis(d2a, nearest[:, None], -1)[:, 0])
+        nearest_cfg = st.configs[nearest]                        # (K, d)
         nearest_radius = st.radii[nearest]
 
-        # --- dynamic-domain rejection (rrtc.hh:123-126)
-        dd_skip = jnp.asarray(s.dynamic_domain) & (nearest_radius < nearest_dist)
+        dd_skip = dyn & (nearest_radius < nearest_dist)          # (K,)
 
-        # --- extension vector (rrtc.hh:132-134)
         reach = nearest_dist < s.range
         scale = jnp.where(reach, 1.0, s.range / jnp.maximum(nearest_dist, 1e-12))
-        ext_vec = (sample - nearest_cfg) * scale
+        ext_vec = (samples - nearest_cfg) * scale[:, None]       # (K, d)
         ext_dist = jnp.minimum(nearest_dist, s.range)
-
-        # --- single fused validation for either mode
-        c_prior = st.configs[st.c_tip]
-        v_start = jnp.where(grow, nearest_cfg, c_prior)
-        v_vec = jnp.where(grow, ext_vec, st.c_inc)
-        v_dist = jnp.where(grow, ext_dist, st.c_inc_len)
-        valid = validate_mod.validate_vector(spec, env, v_start, v_vec, v_dist, num_points)
-
-        room = st.n_nodes < M
-        grow_active = grow & ~dd_skip
-        grow_ok = grow_active & valid & room
-
-        # --- GROW success: insert node (rrtc.hh:142-155)
         new_cfg = nearest_cfg + ext_vec
-        n = st.n_nodes
-        insert_grow = grow_ok
-        # --- dynamic-domain radius updates
-        inf_radius = jnp.isinf(nearest_radius)
-        radii = st.radii
-        ok_update = jnp.where(inf_radius, nearest_radius, nearest_radius * (1.0 + s.alpha))
-        fail_update = jnp.where(
-            inf_radius,
+
+        # ============================= CONNECT ==============================
+        c_tip_cfg = st.configs[st.c_tip]
+        j_seg = jnp.arange(C, dtype=jnp.float32)                 # (C,)
+        seg_active = jnp.arange(C) < st.c_remaining
+
+        # ====================== one fused validation ========================
+        # grow block: (K, num) points along each extension
+        n_g = jnp.maximum(jnp.ceil(ext_dist * (spec.resolution / validate_mod.RAKE)), 1.0)
+        kk = jnp.arange(1, num_points + 1, dtype=jnp.float32)
+        frac_g = jnp.minimum(kk[None] / (validate_mod.RAKE * n_g)[:, None], 1.0)
+        grow_block = nearest_cfg[:, None] + ext_vec[:, None] * frac_g[..., None]
+
+        # connect block: (C, num) points along the next C increments
+        n_c = jnp.maximum(
+            jnp.ceil(st.c_inc_len * (spec.resolution / validate_mod.RAKE)), 1.0
+        )
+        frac_c = jnp.minimum(kk[None] / (validate_mod.RAKE * n_c), 1.0)  # (1, num)
+        conn_block = (
+            c_tip_cfg[None, None]
+            + st.c_inc[None, None] * (j_seg[:, None, None] + frac_c[..., None])
+        )  # (C, num, d)
+
+        block = jnp.concatenate([grow_block, conn_block], axis=0)  # (K+C, num, d)
+        ok_pts = fkcc(spec, env, block)                            # (K+C, num)
+        ok = jnp.all(ok_pts, axis=-1)
+        grow_valid, seg_valid = ok[:K], ok[K:]
+
+        room_for = M - st.n_nodes
+
+        # --- grow inserts: every valid, non-dd-skipped extension, in order
+        g_active = grow & ~dd_skip & grow_valid                   # (K,)
+        g_order = jnp.cumsum(g_active.astype(jnp.int32)) - 1      # position offsets
+        g_ins = g_active & (g_order < room_for)
+        g_pos = jnp.where(g_ins, st.n_nodes + g_order, M)         # M = dropped
+
+        # --- connect prefix inserts
+        seg_eff = jnp.where(seg_active, seg_valid, False)
+        prefix = jnp.sum(jnp.cumprod(seg_eff.astype(jnp.int32)))  # leading-True run
+        n_grow_ins = jnp.where(grow, jnp.sum(g_ins.astype(jnp.int32)), 0)
+        c_order = jnp.arange(C)
+        c_active = st.connect & (c_order < prefix)
+        c_ins = c_active & (c_order < room_for)
+        c_pos = jnp.where(c_ins, st.n_nodes + c_order, M)
+        c_cfgs = c_tip_cfg[None] + st.c_inc[None] * (j_seg[:, None] + 1.0)
+        c_parents = jnp.where(
+            c_order == 0, st.c_tip, st.n_nodes + c_order - 1
+        )
+
+        # --- apply inserts (grow and connect are mutually exclusive modes)
+        all_pos = jnp.where(grow, jnp.concatenate([g_pos, jnp.full(C, M)]),
+                            jnp.concatenate([jnp.full(K, M), c_pos]))
+        all_cfg = jnp.concatenate([new_cfg, c_cfgs])
+        all_par = jnp.concatenate([nearest, c_parents])
+        configs = st.configs.at[all_pos].set(all_cfg, mode="drop")
+        parents = st.parents.at[all_pos].set(all_par, mode="drop")
+        in_start = st.in_start.at[all_pos].set(a_is_start, mode="drop")
+        radii = st.radii.at[all_pos].set(_INF, mode="drop")
+
+        n_conn_ins = jnp.where(st.connect, jnp.sum(c_ins.astype(jnp.int32)), 0)
+        n_ins = jnp.where(grow, n_grow_ins, n_conn_ins)
+        n_nodes = st.n_nodes + n_ins
+        size_start = st.size_start + jnp.where(a_is_start, n_ins, 0)
+        size_goal = st.size_goal + jnp.where(a_is_start, 0, n_ins)
+
+        # --- dynamic-domain radius updates (rrtc.hh:152-155, 226-237)
+        inf_r = jnp.isinf(nearest_radius)
+        ok_upd = jnp.where(inf_r, nearest_radius, nearest_radius * (1.0 + s.alpha))
+        fail_upd = jnp.where(
+            inf_r,
             jnp.float32(s.radius),
             jnp.maximum(nearest_radius * (1.0 - s.alpha), s.min_radius),
         )
-        grow_fail = grow_active & ~valid
-        new_nearest_radius = jnp.where(
-            grow_ok & jnp.asarray(s.dynamic_domain),
-            ok_update,
-            jnp.where(grow_fail & jnp.asarray(s.dynamic_domain), fail_update, nearest_radius),
+        g_attempt = grow & ~dd_skip
+        new_r = jnp.where(
+            g_attempt & grow_valid & dyn,
+            ok_upd,
+            jnp.where(g_attempt & ~grow_valid & dyn, fail_upd, nearest_radius),
         )
-        radii = radii.at[nearest].set(new_nearest_radius)
+        radii = radii.at[jnp.where(g_attempt, nearest, M)].set(new_r, mode="drop")
 
-        # --- connect setup: nearest in tree_b from the new node (rrtc.hh:158-171)
-        mask_b = node_mask & (st.in_start != a_is_start)
-        other, other_dist = _nearest(st.configs, mask_b, new_cfg)
+        # --- connect bookkeeping: enter connect from the most promising new
+        # node (nearest to the other tree), as rrtc.hh:158-171 does per insert
+        d2b = jnp.sum((st.configs[None] - new_cfg[:, None]) ** 2, axis=-1)
+        d2b = jnp.where(mask_b[None], d2b, _INF)
+        o_idx = jnp.argmin(d2b, axis=-1)                          # (K,)
+        o_d = jnp.sqrt(jnp.take_along_axis(d2b, o_idx[:, None], -1)[:, 0])
+        o_d_masked = jnp.where(g_ins, o_d, _INF)
+        kc = jnp.argmin(o_d_masked)                               # chosen sample
+        any_g = jnp.any(g_ins)
+        other = o_idx[kc]
+        other_dist = o_d[kc]
         n_ext = jnp.ceil(other_dist / s.range).astype(jnp.int32)
         n_ext_f = jnp.maximum(n_ext.astype(jnp.float32), 1.0)
-        inc = (st.configs[other] - new_cfg) / n_ext_f
+        inc = (st.configs[other] - new_cfg[kc]) / n_ext_f
         inc_len = other_dist / n_ext_f
 
-        # --- CONNECT step: insert chain node (rrtc.hh:175-191)
-        conn_active = st.connect
-        conn_ok = conn_active & valid & room
-        next_cfg = c_prior + st.c_inc
+        enter = grow & any_g
+        # chain advanced cleanly iff every attempted segment validated AND all
+        # its nodes fit in the buffer (rrtc.hh:175-191 partial-progress rules)
+        attempted = jnp.minimum(C, st.c_remaining)
+        fail_chain = st.connect & (prefix < attempted)
+        chain_ok = st.connect & ~fail_chain & (n_conn_ins == prefix)
+        # new chain tip: grow -> the chosen node; connect -> last inserted
+        tip_after = jnp.where(
+            enter,
+            g_pos[kc],
+            jnp.where(chain_ok & (prefix > 0), st.n_nodes + prefix - 1, st.c_tip),
+        )
+        remaining_after = jnp.where(
+            enter, n_ext, jnp.where(st.connect, st.c_remaining - prefix, 0)
+        )
+        c_inc_new = jnp.where(enter, inc, st.c_inc)
+        c_inc_len_new = jnp.where(enter, inc_len, st.c_inc_len)
 
-        # --- apply insertion (at most one node per step)
-        do_insert = (insert_grow | conn_ok) & ~st.done
-        ins_cfg = jnp.where(insert_grow, new_cfg, next_cfg)
-        ins_parent = jnp.where(insert_grow, nearest, st.c_tip)
-        # masked insert: write the old value back when not inserting
-        write = jnp.where(do_insert, n, M - 1)
-        configs = st.configs.at[write].set(
-            jnp.where(do_insert, ins_cfg, st.configs[write])
-        )
-        parents = st.parents.at[write].set(
-            jnp.where(do_insert, ins_parent, st.parents[write])
-        )
-        in_start = st.in_start.at[write].set(
-            jnp.where(do_insert, a_is_start, st.in_start[write])
-        )
-        radii = radii.at[write].set(jnp.where(do_insert, _INF, radii[write]))
-        n_nodes = n + do_insert.astype(jnp.int32)
-        size_start = st.size_start + (do_insert & a_is_start).astype(jnp.int32)
-        size_goal = st.size_goal + (do_insert & ~a_is_start).astype(jnp.int32)
-
-        # --- connect bookkeeping
-        i_ext = jnp.where(conn_ok, st.c_i_ext + 1, st.c_i_ext)
-        # entering connect mode from grow
-        enter = insert_grow & ~st.done
-        c_tip = jnp.where(enter | conn_ok, n, st.c_tip)
-        c_inc = jnp.where(enter, inc, st.c_inc)
-        c_inc_len = jnp.where(enter, inc_len, st.c_inc_len)
-        c_n_ext = jnp.where(enter, n_ext, st.c_n_ext)
-        i_ext = jnp.where(enter, 0, i_ext)
-        c_other = jnp.where(enter, other, st.c_other)
-
-        # connected when the chain completes (rrtc.hh:193); n_ext == 0 connects
-        # immediately on entry (zero-length connect)
-        now_n_ext = jnp.where(enter, n_ext, st.c_n_ext)
-        joined = ((enter | conn_ok) & (i_ext >= now_n_ext)) & ~st.done
-        connect = jnp.where(
-            st.done, st.connect, (enter | (conn_active & conn_ok)) & ~joined
-        )
-        # budget exhaustion inside connect also drops back to grow
-        connect = connect & room
+        joined = (
+            (enter & (n_ext == 0)) | (chain_ok & (remaining_after == 0))
+        ) & ~st.done
+        # stay in connect while the chain is advancing and unfinished
+        connect_next = (
+            (enter & (n_ext > 0)) | (chain_ok & (remaining_after > 0))
+        ) & ~joined & (n_nodes < M)
 
         done = st.done | joined
-        junction_a = jnp.where(joined, c_tip, st.junction_a)
-        junction_b = jnp.where(joined, c_other, st.junction_b)
+        junction_a = jnp.where(joined, tip_after, st.junction_a)
+        junction_b = jnp.where(joined, jnp.where(enter, other, st.c_other), st.junction_b)
         a_start_at_join = jnp.where(joined, a_is_start, st.a_start_at_join)
-
-        iters = st.iters + grow.astype(jnp.int32)
 
         return _State(
             configs=configs,
@@ -232,15 +275,14 @@ def _make_step(spec: RobotSpec, s: RRTCSettings, env: Environment, num_points: i
             size_start=size_start,
             size_goal=size_goal,
             a_is_start=a_is_start,
-            iters=iters,
-            sample_idx=sample_idx,
-            connect=connect,
-            c_tip=c_tip,
-            c_inc=c_inc,
-            c_inc_len=c_inc_len,
-            c_n_ext=c_n_ext,
-            c_i_ext=i_ext,
-            c_other=c_other,
+            iters=st.iters + jnp.where(grow, K, 0),
+            sample_idx=st.sample_idx + jnp.where(grow, K, 0),
+            connect=connect_next,
+            c_tip=tip_after,
+            c_inc=c_inc_new,
+            c_inc_len=c_inc_len_new,
+            c_remaining=remaining_after,
+            c_other=jnp.where(enter, other, st.c_other),
             done=done,
             junction_a=junction_a,
             junction_b=junction_b,
@@ -355,9 +397,8 @@ def plan(
         connect=jnp.asarray(False),
         c_tip=jnp.int32(0),
         c_inc=jnp.zeros(d, jnp.float32),
-        c_inc_len=jnp.float32(0),
-        c_n_ext=jnp.int32(0),
-        c_i_ext=jnp.int32(0),
+        c_inc_len=jnp.float32(1.0),
+        c_remaining=jnp.int32(0),
         c_other=jnp.int32(0),
         done=any_direct,
         junction_a=jnp.int32(0),
@@ -368,8 +409,8 @@ def plan(
     step = _make_step(spec, s, env, num_points)
 
     def cond(st: _State):
-        # a pending connect phase may finish past the iteration limit, as in
-        # the reference (its connect loop runs inside the final iteration)
+        # a pending connect phase may finish past the sample budget, as in the
+        # reference (its connect loop runs inside the final iteration)
         budget = (st.iters < s.max_iterations) | st.connect
         return (~st.done) & budget & (st.n_nodes < M)
 

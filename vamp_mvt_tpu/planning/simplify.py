@@ -51,6 +51,10 @@ class SimplifySettings:
     perturb_max_empty_steps: int = 5
     perturb_attempts: int = 5
     perturb_range: float = 0.1
+    # device-memory bound for the XLA fallback validator: segments per fused
+    # kernel invocation (None = no chunking; safe with the Pallas fkcc, which
+    # streams configurations without materializing FK intermediates)
+    pair_chunk: int | None = 64
 
 
 class SimplifyResult(NamedTuple):
@@ -75,20 +79,33 @@ def _pad_tail(path: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((k < length)[:, None], path, last[None, :])
 
 
-def _shortcut(spec, env, path, length, num_long):
-    """Batched-validation greedy shortcut (reference simplify.hh:115-141)."""
+def _shortcut(spec, env, path, length, num_long, chunk, pair_cap=1024):
+    """Batched-validation greedy shortcut (reference simplify.hh:115-141).
+
+    Pair compaction: of the P*(P-1)/2 static candidate pairs, only those
+    inside the live path (j < length, typically a few hundred) are gathered
+    into a pair_cap-sized compact list for the fused validation — padding
+    pairs would otherwise dominate the kernel cost.  Paths long enough to
+    exceed pair_cap candidate pairs simply lose the excess (longest-j) pairs
+    as shortcut candidates; validity is never affected.
+    """
     P = path.shape[0]
     # All pairs (i, j) with j >= i + 2; a static index list.
     ii, jj = np.triu_indices(P, k=2)
     ii = jnp.asarray(ii, jnp.int32)
     jj = jnp.asarray(jj, jnp.int32)
     in_range = jj < length
-    # Out-of-range pairs validate a zero-length segment (cheap, masked off).
-    starts = path[ii]
-    goals = jnp.where(in_range[:, None], path[jj], starts)
-    vflat = validate_mod.validate_motion_batch(spec, env, starts, goals, num_long)
-    vflat = vflat & in_range
-    V = jnp.zeros((P, P), bool).at[ii, jj].set(vflat)
+    cap = min(pair_cap, ii.shape[0])
+    # stable partition: in-path pairs first
+    order = jnp.argsort(~in_range, stable=True)[:cap]
+    ii_c, jj_c = ii[order], jj[order]
+    live = in_range[order]
+    starts = path[ii_c]
+    goals = jnp.where(live[:, None], path[jj_c], starts)
+    vflat = validate_mod.validate_motion_batch(
+        spec, env, starts, goals, num_long, chunk=chunk
+    )
+    V = jnp.zeros((P, P), bool).at[ii_c, jj_c].set(vflat & live)
 
     karange = jnp.arange(P)
 
@@ -146,7 +163,9 @@ def _bspline(spec, env, path, length, s: SimplifySettings, num_long):
         seg_goals = jnp.concatenate([mid, nxt2])
         keep = jnp.concatenate([cand & moved] * 2)
         seg_goals = jnp.where(keep[:, None], seg_goals, seg_starts)
-        v = validate_mod.validate_motion_batch(spec, env, seg_starts, seg_goals, num_long)
+        v = validate_mod.validate_motion_batch(
+            spec, env, seg_starts, seg_goals, num_long, chunk=s.pair_chunk
+        )
         accept = cand & moved & v[:P] & v[P:]
         path = jnp.where(accept[:, None], mid, path)
         changed = changed | jnp.any(accept)
@@ -274,7 +293,7 @@ def simplify(
             changed = jnp.asarray(False)
             for op in s.operations:
                 if op == "shortcut":
-                    path, length, ch = _shortcut(spec, env, path, length, num_long)
+                    path, length, ch = _shortcut(spec, env, path, length, num_long, s.pair_chunk)
                 elif op == "bspline":
                     path, length, ch = _bspline(spec, env, path, length, s, num_long)
                 elif op == "reduce":

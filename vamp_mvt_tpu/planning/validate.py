@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from vamp_mvt_tpu.collision.environment import Environment
@@ -78,17 +79,33 @@ def validate_motion_batch(
     starts: jnp.ndarray,
     goals: jnp.ndarray,
     num: int,
+    chunk: int | None = None,
 ) -> jnp.ndarray:
     """Validate E segments at once: (E, d) x (E, d) -> (E,) bool.
 
     One fused FK+CC evaluation over (E, num) configurations — the workhorse
-    for batched shortcut/smoothing and roadmap edge validation.
+    for batched shortcut/smoothing and roadmap edge validation.  `chunk`
+    bounds on-device memory: segments are processed in chunks of that size via
+    lax.map (the (chunk, num, S, 3) FK intermediate is the footprint driver).
+    E must be divisible by the chunk.
     """
-    vectors = goals - starts
-    dists = jnp.sqrt(jnp.sum(vectors * vectors, axis=-1))
-    n = jnp.maximum(jnp.ceil(dists * (spec.resolution / RAKE)), 1.0)
-    N = RAKE * n  # (E,)
-    k = jnp.arange(1, num + 1, dtype=jnp.float32)
-    frac = jnp.minimum(k[None, :] / N[:, None], 1.0)  # (E, num)
-    block = starts[:, None, :] + vectors[:, None, :] * frac[:, :, None]
-    return jnp.all(fkcc(spec, env, block), axis=-1)
+
+    def run(starts, goals):
+        vectors = goals - starts
+        dists = jnp.sqrt(jnp.sum(vectors * vectors, axis=-1))
+        n = jnp.maximum(jnp.ceil(dists * (spec.resolution / RAKE)), 1.0)
+        N = RAKE * n  # (E,)
+        k = jnp.arange(1, num + 1, dtype=jnp.float32)
+        frac = jnp.minimum(k[None, :] / N[:, None], 1.0)  # (E, num)
+        block = starts[:, None, :] + vectors[:, None, :] * frac[:, :, None]
+        return jnp.all(fkcc(spec, env, block), axis=-1)
+
+    E = starts.shape[0]
+    if chunk is None or chunk >= E:
+        return run(starts, goals)
+    # lax.map(batch_size=...) vmaps over chunks; remainder handled separately
+    return jax.lax.map(
+        lambda se: run(se[0][None], se[1][None])[0],
+        (starts, goals),
+        batch_size=chunk,
+    )

@@ -62,9 +62,11 @@ class Frame:
     axis: np.ndarray  # (3,) joint axis in the child frame
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class RobotSpec:
-    """Static robot data; closed over (not traced) by the FK/collision kernels."""
+    """Static robot data; closed over (not traced) by the FK/collision kernels.
+
+    eq=False: identity hashing, so specs can be jit static args."""
 
     name: str
     dimension: int

@@ -391,7 +391,7 @@ def run_suite(
             jax.block_until_ready(rr)
             merged = {}
             for field in pr._fields:
-                arr = np.asarray(getattr(pr, field))
+                arr = np.array(getattr(pr, field))  # writable copy
                 arr[idx] = np.asarray(getattr(rr, field))[: len(idx)]
                 merged[field] = jnp.asarray(arr)
             pr = rrtc.RRTCResult(**merged)

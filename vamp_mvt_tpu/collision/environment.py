@@ -44,6 +44,8 @@ class Environment(NamedTuple):
     z_cuboids: jnp.ndarray    # (..., Nzb, 15)
     hf_meta: jnp.ndarray      # (..., Nh, 10): x, y, z, xs, ys, zs, xd, yd, xd2, yd2
     hf_data: jnp.ndarray      # (..., Nh, max_cells)
+    mvt: object = None        # MVTData pointcloud structure (collision/mvt.py)
+    capt: object = None       # CAPTData pointcloud structure (collision/capt.py)
 
 
 # ---------------------------------------------------------------------------
@@ -142,6 +144,8 @@ class EnvironmentBuilder:
     cuboids: list = dataclasses.field(default_factory=list)
     z_cuboids: list = dataclasses.field(default_factory=list)
     heightfields: list = dataclasses.field(default_factory=list)
+    mvt: object = None
+    capt: object = None
 
     def add_sphere(self, center, radius):
         self.spheres.append(make_sphere(center, radius))
@@ -166,6 +170,41 @@ class EnvironmentBuilder:
     def add_heightfield(self, meta: np.ndarray, data: np.ndarray):
         self.heightfields.append((meta, data))
         return self
+
+    def add_mvt_pointcloud(
+        self,
+        points,
+        r_min: float,
+        r_max: float,
+        workspace_min,
+        workspace_max,
+        r_point: float,
+        **pad,
+    ) -> int:
+        """Build + attach an MVT structure; returns build time in ns
+        (reference bindings/environment.cc:164-177)."""
+        import time
+
+        from vamp_mvt_tpu.collision.mvt import build_mvt
+
+        t0 = time.perf_counter_ns()
+        self.mvt = build_mvt(
+            points, r_min, r_max, workspace_min, workspace_max, r_point, **pad
+        )
+        return time.perf_counter_ns() - t0
+
+    def add_capt_pointcloud(
+        self, points, r_min: float, r_max: float, r_point: float, **pad
+    ) -> int:
+        """Build + attach a CAPT structure; returns build time in ns
+        (reference bindings/environment.cc:152-163)."""
+        import time
+
+        from vamp_mvt_tpu.collision.capt import build_capt
+
+        t0 = time.perf_counter_ns()
+        self.capt = build_capt(points, r_min, r_max, r_point, **pad)
+        return time.perf_counter_ns() - t0
 
     def build(
         self,
@@ -209,6 +248,8 @@ class EnvironmentBuilder:
             z_cuboids=pad(self.z_cuboids, n_z_cuboids, _INERT["cuboids"]),
             hf_meta=jnp.asarray(hf_meta),
             hf_data=jnp.asarray(hf_data),
+            mvt=self.mvt,
+            capt=self.capt,
         )
 
 

@@ -83,9 +83,19 @@ def env_collision(
         hits.append(
             primitives.sphere_heightfield(env.hf_meta, env.hf_data, centers, radii)
         )
-    if not hits:
-        return jnp.zeros(centers.shape[:-2], dtype=bool)
     collided = [jnp.any(h < 0.0, axis=(-2, -1)) for h in hits]
+    if env.mvt is not None:
+        from vamp_mvt_tpu.collision.mvt import mvt_collides
+
+        rr = jnp.broadcast_to(radii, centers.shape[:-1])
+        collided.append(jnp.any(mvt_collides(env.mvt, centers, rr), axis=-1))
+    if env.capt is not None:
+        from vamp_mvt_tpu.collision.capt import capt_collides
+
+        rr = jnp.broadcast_to(radii, centers.shape[:-1])
+        collided.append(jnp.any(capt_collides(env.capt, centers, rr), axis=-1))
+    if not collided:
+        return jnp.zeros(centers.shape[:-2], dtype=bool)
     out = collided[0]
     for c in collided[1:]:
         out = out | c

@@ -1,0 +1,103 @@
+"""PRM, FCIT*, AORRTC planner tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vamp_mvt_tpu.collision import environment as envmod
+from vamp_mvt_tpu.planning import aorrtc, fcit, prm, rrtc
+from vamp_mvt_tpu.planning import validate as validate_mod
+from vamp_mvt_tpu.robots import registry
+from tests.test_rrtc import CAGE, PANDA_GOAL, PANDA_START
+
+import jax
+
+
+def _wall_env():
+    b = envmod.EnvironmentBuilder()
+    for y in np.linspace(-3, 3, 13):
+        for z in np.linspace(0, 3, 7):
+            if y > 2.0 and z > 2.0:
+                continue
+            b.add_sphere([0.0, y, z], 0.3)
+    return b.build()
+
+
+def _check_segments(spec, env, path):
+    num = validate_mod.n_points_bound(
+        spec, float(np.linalg.norm(spec.limits_high - spec.limits_low))
+    )
+    ok = jax.jit(
+        lambda s, g: validate_mod.validate_motion_batch(spec, env, s, g, num)
+    )(jnp.asarray(path[:-1]), jnp.asarray(path[1:]))
+    assert bool(jnp.all(ok)), "path has invalid segments"
+
+
+def test_prm_sphere_wall():
+    spec = registry.sphere_spec(lows=(-3, -3, 0), highs=(3, 3, 3), radius=0.1)
+    env = _wall_env()
+    res = prm.solve(
+        spec, env, [-2.0, 0.0, 1.0], [[2.0, 0.0, 1.0]],
+        prm.PRMSettings(max_samples=1024, wave=64,
+                        neighbor_params=prm.PRMStarNeighborParams(3, spec.space_measure())),
+    )
+    assert res.solved
+    assert res.cost > 4.0  # must detour
+    np.testing.assert_allclose(res.path[0], [-2, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(res.path[-1], [2, 0, 1], atol=1e-6)
+    _check_segments(spec, env, res.path)
+
+
+def test_prm_direct():
+    spec = registry.sphere_spec()
+    env = envmod.empty_environment()
+    res = prm.solve(spec, env, [0, 0, 1.0], [[1, 1, 2.0]])
+    assert res.solved and res.iterations == 0
+    np.testing.assert_allclose(res.cost, np.sqrt(3), atol=1e-5)
+
+
+def test_prm_build_roadmap():
+    spec = registry.sphere_spec(lows=(-3, -3, 0), highs=(3, 3, 3), radius=0.1)
+    env = _wall_env()
+    rm = prm.build_roadmap(
+        spec, env, [-2.0, 0.0, 1.0], [2.0, 0.0, 1.0],
+        prm.PRMSettings(max_samples=256, wave=64,
+                        neighbor_params=prm.PRMStarNeighborParams(3, spec.space_measure())),
+    )
+    assert rm.vertices.shape[0] >= 200
+    assert len(rm.edges) > 100
+
+
+def test_fcit_sphere_wall():
+    spec = registry.sphere_spec(lows=(-3, -3, 0), highs=(3, 3, 3), radius=0.1)
+    env = _wall_env()
+    res = fcit.solve(
+        spec, env, [-2.0, 0.0, 1.0], [[2.0, 0.0, 1.0]],
+        fcit.FCITSettings(max_samples=256, batch_size=64),
+    )
+    assert res.solved
+    _check_segments(spec, env, res.path)
+    np.testing.assert_allclose(res.path[-1], [2, 0, 1], atol=1e-6)
+    # FCIT* is asymptotically optimal: cost should be decent
+    assert res.cost < 12.0
+
+
+def test_aorrtc_improves_over_rrtc():
+    spec = registry.sphere_spec(lows=(-3, -3, 0), highs=(3, 3, 3), radius=0.1)
+    env = _wall_env()
+    start = [-2.0, 0.0, 1.0]
+    goal = [[2.0, 0.0, 1.0]]
+    base = rrtc.RRTCSettings(range=1.0, max_iterations=512, max_samples=512,
+                             max_path=64)
+    r0 = jax.jit(
+        lambda e, s, g, m: rrtc.plan(spec, e, s, g, m, base)
+    )(env, jnp.asarray(start), jnp.asarray(goal), jnp.asarray([True]))
+    assert bool(r0.solved)
+
+    settings = aorrtc.AORRTCSettings(
+        rrtc=base, max_iterations=4096, max_internal_iterations=512
+    )
+    res, iters = aorrtc.solve(spec, env, start, goal, settings)
+    assert float(res.cost) <= float(r0.cost) + 1e-5
+    # final path is valid
+    L = int(res.path_length)
+    _check_segments(spec, env, np.asarray(res.path)[:L])

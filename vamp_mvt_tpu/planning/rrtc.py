@@ -97,13 +97,32 @@ class _State(NamedTuple):
     a_start_at_join: jnp.ndarray  # () bool
 
 
-def _make_step(spec: RobotSpec, s: RRTCSettings, env: Environment, num_points: int):
+def _make_step(
+    spec: RobotSpec,
+    s: RRTCSettings,
+    env: Environment,
+    num_points: int,
+    phs=None,
+):
     M, K, C = s.max_samples, s.samples_per_step, s.connect_segments
     d = spec.dimension
     arange_m = jnp.arange(M)
     lows = jnp.asarray(spec.limits_low)
-    spans = jnp.asarray(spec.limits_high - spec.limits_low)
+    highs = jnp.asarray(spec.limits_high)
+    spans = highs - lows
     dyn = jnp.asarray(s.dynamic_domain)
+
+    def draw_samples(idx0):
+        unit = halton(idx0 + jnp.arange(K), d)  # (K, d)
+        if phs is None:
+            return unit * spans + lows
+        # informed sampling: PHS transform + joint-limit clamp (phs.hh:161-171)
+        from vamp_mvt_tpu.planning.phs import phs_samples
+
+        key = jax.random.fold_in(jax.random.PRNGKey(17), idx0)
+        radius_u = jax.random.uniform(key, (K,))
+        q = phs_samples(phs, unit, radius_u)
+        return jnp.clip(q, lows, highs)
 
     def step(st: _State) -> _State:
         grow = ~st.connect
@@ -117,7 +136,7 @@ def _make_step(spec: RobotSpec, s: RRTCSettings, env: Environment, num_points: i
 
         # =============================== GROW ===============================
         # K consecutive Halton samples (rrtc.hh:110; random/halton.hh:75-108)
-        samples = halton(st.sample_idx + jnp.arange(K), d) * spans + lows  # (K, d)
+        samples = draw_samples(st.sample_idx)  # (K, d)
 
         node_mask = arange_m < st.n_nodes
         mask_a = node_mask & (st.in_start == a_is_start)
@@ -349,10 +368,13 @@ def plan(
     goal_mask: jnp.ndarray,       # (G,) bool
     settings: RRTCSettings,
     sample_offset: jnp.ndarray | int = 0,
+    phs=None,
 ) -> RRTCResult:
     """Solve one problem. Batch across problems with jax.vmap.
 
     sample_offset mirrors the reference's RNG `skip` (robot_helper.hh:370-379).
+    phs: optional planning.phs.PHS for informed sampling (AORRTC's anytime
+    loop, reference aorrtc.hh:450-459).
     """
     s = settings
     M, P, d = s.max_samples, s.max_path, spec.dimension
@@ -406,7 +428,7 @@ def plan(
         a_start_at_join=jnp.asarray(True),
     )
 
-    step = _make_step(spec, s, env, num_points)
+    step = _make_step(spec, s, env, num_points, phs=phs)
 
     def cond(st: _State):
         # a pending connect phase may finish past the sample budget, as in the

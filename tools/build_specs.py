@@ -98,6 +98,7 @@ def build(robot: str, ref: dict) -> dict:
         end_effector=ref["end_effector"],
         self_collision_pairs=np.array(ref["self_collision_pairs"], dtype=np.int32),
         joint_order=ref["joint_names"],
+        attachment_check_spheres=np.array(ref["attachment_check_spheres"], dtype=np.int32),
     )
     ref_radii = np.array(ref["radii"], dtype=np.float32)
     if spec.n_spheres != len(ref_radii):

@@ -289,34 +289,33 @@ def run_suite(
     settings: rrtc.RRTCSettings | None = None,
     simp_settings: simplify.SimplifySettings | None = None,
     max_problems: int | None = None,
-    batch_size: int = 100,
+    batch_size: int = 700,
     warmup: bool = True,
 ) -> SuiteResult:
     """Plan + simplify a whole MBM suite as batched device programs.
 
-    Problems run in fixed-size batches (padded by repeating the last problem)
-    through one compiled plan/simplify pair; batching bounds device memory for
-    the simplification pair-validation kernels.
+    One lockstep batch per `batch_size` problems (default: the whole suite in
+    a single batch — lockstep straggler waste shrinks as the batch grows);
+    unsolved problems are rerun at a 32x sample budget in a compact batch.
+    Simplification pair validation is chunked (pair_chunk) to bound memory.
     """
     spec = registry.load(robot)
     if settings is None:
         settings = rrtc.RRTCSettings(
             range=registry.RRT_RANGES.get(robot, 1.0),
-            max_iterations=4096,
-            max_samples=4096,
+            max_iterations=2048,
+            max_samples=2048,
             max_path=96,
-            samples_per_step=8,
-            connect_segments=4,
+            samples_per_step=16,
+            connect_segments=8,
         )
     if simp_settings is None:
-        simp_settings = simplify.SimplifySettings(
-            pair_chunk=64 if jax.default_backend() == "cpu" else None
-        )
-    # straggler phase: rerun unsolved problems with a larger sample budget
+        simp_settings = simplify.SimplifySettings(pair_chunk=64)
+    # straggler phase: rerun unsolved problems with a much larger sample budget
     retry_settings = dataclasses.replace(
         settings,
-        max_iterations=16 * settings.max_iterations,
-        max_samples=16 * settings.max_samples,
+        max_iterations=32 * settings.max_iterations,
+        max_samples=32 * settings.max_samples,
     )
 
     data = load_problems(robot)

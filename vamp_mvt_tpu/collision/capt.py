@@ -53,8 +53,19 @@ def build_capt(
     r_point: float,
     pad_leaves: int | None = None,
     pad_capacity: int | None = None,
+    use_native: bool = True,
 ) -> CAPTData:
     points = np.asarray(points, dtype=np.float32).reshape(-1, 3)
+    if use_native and len(points):
+        from vamp_mvt_tpu import native
+
+        nat = native.capt_build_arrays(points, r_min, r_max, r_point)
+        if nat is not None:
+            tests, leaf_aabb, aff_flat, aff_start, top_aabb, nlog2 = nat
+            return _pack_capt(
+                tests, leaf_aabb, aff_flat, aff_start, top_aabb,
+                pad_leaves, pad_capacity, r_point,
+            )
     n = len(points)
     nlog2 = 0
     while (1 << nlog2) < n:
@@ -175,6 +186,33 @@ def build_capt(
         aff_points=jnp.asarray(aff),
         aff_count=jnp.asarray(cnt),
         top_aabb=jnp.asarray(np.concatenate([top_lo, top_hi]).astype(np.float32)),
+        meta=jnp.asarray(np.array([r_point], dtype=np.float32)),
+    )
+
+
+def _pack_capt(tests, leaf_aabb, aff_flat, aff_start, top_aabb,
+               pad_leaves, pad_capacity, r_point) -> CAPTData:
+    """Pack flat affordance arrays into padded per-leaf buffers."""
+    size = leaf_aabb.shape[0]
+    counts = np.diff(aff_start).astype(np.int32)
+    CAP = max(int(counts.max()) if size else 1, 1)
+    if pad_capacity is not None:
+        CAP = max(CAP, pad_capacity)
+    NL = size if pad_leaves is None else max(size, pad_leaves)
+    aff = np.full((NL, CAP, 3), _INF, dtype=np.float32)
+    aabbs = np.full((NL, 6), _INF, dtype=np.float32)
+    aabbs[:size] = leaf_aabb
+    cnt = np.zeros(NL, np.int32)
+    cnt[:size] = counts
+    for z in range(size):
+        a, b = aff_start[z], aff_start[z + 1]
+        aff[z, : b - a] = aff_flat[a:b]
+    return CAPTData(
+        tests=jnp.asarray(tests),
+        leaf_aabb=jnp.asarray(aabbs),
+        aff_points=jnp.asarray(aff),
+        aff_count=jnp.asarray(cnt),
+        top_aabb=jnp.asarray(top_aabb.astype(np.float32)),
         meta=jnp.asarray(np.array([r_point], dtype=np.float32)),
     )
 

@@ -46,6 +46,7 @@ class Environment(NamedTuple):
     hf_data: jnp.ndarray      # (..., Nh, max_cells)
     mvt: object = None        # MVTData pointcloud structure (collision/mvt.py)
     capt: object = None       # CAPTData pointcloud structure (collision/capt.py)
+    attachment: object = None # Attachment (end-effector payload spheres)
 
 
 # ---------------------------------------------------------------------------
@@ -146,6 +147,7 @@ class EnvironmentBuilder:
     heightfields: list = dataclasses.field(default_factory=list)
     mvt: object = None
     capt: object = None
+    attachment: object = None
 
     def add_sphere(self, center, radius):
         self.spheres.append(make_sphere(center, radius))
@@ -169,6 +171,12 @@ class EnvironmentBuilder:
 
     def add_heightfield(self, meta: np.ndarray, data: np.ndarray):
         self.heightfields.append((meta, data))
+        return self
+
+    def attach(self, attachment):
+        """Attach end-effector payload spheres (reference Environment
+        attachments, collision/attachments.hh:12-57)."""
+        self.attachment = attachment
         return self
 
     def add_mvt_pointcloud(
@@ -250,6 +258,7 @@ class EnvironmentBuilder:
             hf_data=jnp.asarray(hf_data),
             mvt=self.mvt,
             capt=self.capt,
+            attachment=self.attachment,
         )
 
 

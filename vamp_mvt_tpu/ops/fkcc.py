@@ -13,6 +13,8 @@ the pair set is identical (extracted reference tables, robots/_reference_data.js
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -102,6 +104,54 @@ def env_collision(
     return out
 
 
+class Attachment(NamedTuple):
+    """End-effector payload: spheres in an EE-relative frame
+    (reference collision/attachments.hh:12-57)."""
+
+    tf_rot: jnp.ndarray   # (3, 3) attachment frame rotation (EE-relative)
+    tf_pos: jnp.ndarray   # (3,)
+    spheres: jnp.ndarray  # (A, 4) x, y, z, r in the attachment frame
+
+
+def make_attachment(spheres, tf_rot=None, tf_pos=None) -> Attachment:
+    spheres = np.asarray(spheres, np.float32).reshape(-1, 4)
+    return Attachment(
+        tf_rot=jnp.asarray(np.eye(3) if tf_rot is None else tf_rot, jnp.float32),
+        tf_pos=jnp.asarray(
+            np.zeros(3) if tf_pos is None else tf_pos, jnp.float32
+        ),
+        spheres=jnp.asarray(spheres),
+    )
+
+
+def attachment_collision(
+    spec: RobotSpec, env: Environment, q: jnp.ndarray, centers: jnp.ndarray
+) -> jnp.ndarray:
+    """Attachment checks (reference fkcc_attach, panda.hh:15309-15345):
+    pose payload spheres from the EE frame, test vs environment and vs the
+    robot's attachment-check sphere set."""
+    from vamp_mvt_tpu.ops.fk import eefk
+
+    att: Attachment = env.attachment
+    R_ee, t_ee = eefk(spec, q)  # (..., 3, 3), (..., 3)
+    local = jnp.einsum("ij,aj->ai", att.tf_rot, att.spheres[:, :3]) + att.tf_pos
+    posed = jnp.einsum("...ij,aj->...ai", R_ee, local) + t_ee[..., None, :]
+    a_r = att.spheres[:, 3]
+
+    bad = env_collision(env, posed, a_r)
+
+    # attachment vs robot spheres (checked subset)
+    idx = jnp.asarray(spec.attachment_check_spheres)
+    rob = centers[..., idx, :]                       # (..., Sc, 3)
+    rob_r = jnp.asarray(spec.sphere_radius)[idx]
+    d2 = jnp.sum(
+        (posed[..., :, None, :] - rob[..., None, :, :]) ** 2, axis=-1
+    )  # (..., A, Sc)
+    rs = a_r[:, None] + rob_r[None, :]
+    bad = bad | jnp.any(d2 < rs * rs, axis=(-2, -1))
+    return bad
+
+
 def fkcc(
     spec: RobotSpec,
     env: Environment,
@@ -128,4 +178,6 @@ def fkcc(
     centers = sphere_positions(spec, q)
     radii = jnp.asarray(spec.sphere_radius)
     bad = env_collision(env, centers, radii) | self_collision(spec, centers)
+    if env.attachment is not None:
+        bad = bad | attachment_collision(spec, env, q, centers)
     return ~bad

@@ -231,9 +231,14 @@ def _pad_rows(a):
 
 
 def supports(env: Environment) -> bool:
-    """This kernel handles primitive shapes only (no heightfields/pointclouds;
-    those fall back to the XLA path in ops/fkcc.py)."""
-    return env.hf_meta.shape[-2] == 0 and env.mvt is None and env.capt is None
+    """This kernel handles primitive shapes only (no heightfields/pointclouds/
+    attachments; those fall back to the XLA path in ops/fkcc.py)."""
+    return (
+        env.hf_meta.shape[-2] == 0
+        and env.mvt is None
+        and env.capt is None
+        and env.attachment is None
+    )
 
 
 def fkcc_pallas_batched(

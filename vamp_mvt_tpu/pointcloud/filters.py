@@ -43,11 +43,20 @@ def filter_scdf(
     workspace_min,
     workspace_max,
     cull: bool = True,
+    use_native: bool = True,
 ) -> np.ndarray:
     """SCDF filter; returns the kept subset of pc (N, 3)."""
     pc = np.asarray(pc, dtype=np.float32)
     if pc.shape[0] == 0:
         return pc
+    if use_native:
+        from vamp_mvt_tpu import native
+
+        out = native.scdf_filter(
+            pc, min_dist, max_range, origin, workspace_min, workspace_max, cull
+        )
+        if out is not None:
+            return out
     origin = np.asarray(origin, dtype=np.float32)
     sqdist = np.float32(min_dist * min_dist)
 
@@ -97,11 +106,20 @@ def filter_centervox(
     origin,
     workspace_min,
     workspace_max,
+    use_native: bool = True,
 ) -> np.ndarray:
     """Center-selective voxel filter; returns one point per occupied voxel."""
     pc = np.asarray(pc, dtype=np.float32)
     if pc.shape[0] == 0:
         return pc
+    if use_native:
+        from vamp_mvt_tpu import native
+
+        out = native.centervox_filter(
+            pc, voxel_size, max_range, origin, workspace_min, workspace_max
+        )
+        if out is not None:
+            return out
     origin = np.asarray(origin, dtype=np.float32)
     wmin = np.asarray(workspace_min, dtype=np.float32)
     wmax = np.asarray(workspace_max, dtype=np.float32)

@@ -46,6 +46,7 @@ def spec_to_dict(spec: RobotSpec) -> dict:
         "limits_low": spec.limits_low.tolist(),
         "limits_high": spec.limits_high.tolist(),
         "self_collision_pairs": spec.self_collision_pairs.tolist(),
+        "attachment_check_spheres": spec.attachment_check_spheres.tolist(),
         "joint_names": list(spec.joint_names),
         "end_effector": spec.end_effector,
         "ee_frame": spec.ee_frame,
@@ -77,6 +78,10 @@ def spec_from_dict(d: dict) -> RobotSpec:
         self_collision_pairs=np.array(
             d["self_collision_pairs"], dtype=np.int32
         ).reshape(-1, 2),
+        attachment_check_spheres=np.array(
+            d.get("attachment_check_spheres", list(range(len(d["sphere_radius"])))),
+            dtype=np.int32,
+        ),
         joint_names=tuple(d["joint_names"]),
         end_effector=d["end_effector"],
         ee_frame=d["ee_frame"],
@@ -110,6 +115,7 @@ def sphere_spec(
         limits_low=np.array(lows, dtype=np.float32),
         limits_high=np.array(highs, dtype=np.float32),
         self_collision_pairs=np.zeros((0, 2), dtype=np.int32),
+        attachment_check_spheres=np.array([0], dtype=np.int32),
         joint_names=("x", "y", "z"),
         end_effector="axis_z",
         ee_frame=3,

@@ -81,9 +81,12 @@ class RobotSpec:
     limits_high: np.ndarray  # (d,)
     # Self-collision sphere index pairs (P, 2) int:
     self_collision_pairs: np.ndarray
-    joint_names: tuple[str, ...]
-    end_effector: str  # frame name of the end effector
-    ee_frame: int  # frame index of the end effector
+    # Robot sphere indices checked against end-effector attachments
+    # (reference fkcc_attach per-link pruning, e.g. panda.hh:15323-15380):
+    attachment_check_spheres: np.ndarray = None
+    joint_names: tuple[str, ...] = ()
+    end_effector: str = ""  # frame name of the end effector
+    ee_frame: int = -1  # frame index of the end effector
 
     @property
     def n_spheres(self) -> int:
@@ -119,6 +122,7 @@ def parse_urdf(
     end_effector: str,
     self_collision_pairs: np.ndarray | None = None,
     joint_order: list[str] | None = None,
+    attachment_check_spheres=None,
 ) -> RobotSpec:
     """Parse a spherized URDF into a RobotSpec.
 
@@ -245,6 +249,11 @@ def parse_urdf(
         else np.asarray(self_collision_pairs, dtype=np.int32)
     )
 
+    acs = (
+        np.arange(len(sphere_radius), dtype=np.int32)
+        if attachment_check_spheres is None
+        else np.asarray(attachment_check_spheres, dtype=np.int32)
+    )
     return RobotSpec(
         name=name,
         dimension=len(actuated),
@@ -256,6 +265,7 @@ def parse_urdf(
         limits_low=lows,
         limits_high=highs,
         self_collision_pairs=pairs,
+        attachment_check_spheres=acs,
         joint_names=tuple(j["name"] for j in actuated),
         end_effector=end_effector,
         ee_frame=frame_index.get(end_effector, len(frames) - 1),

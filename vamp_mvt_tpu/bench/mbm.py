@@ -303,20 +303,21 @@ def run_suite(
     if settings is None:
         settings = rrtc.RRTCSettings(
             range=registry.RRT_RANGES.get(robot, 1.0),
-            max_iterations=2048,
-            max_samples=2048,
+            max_iterations=4096,
+            max_samples=4096,
             max_path=96,
             samples_per_step=16,
             connect_segments=8,
         )
     if simp_settings is None:
         simp_settings = simplify.SimplifySettings(pair_chunk=64)
-    # straggler phase: rerun unsolved problems with a much larger sample budget
+    # straggler phase: rerun unsolved problems with a larger sample budget
     retry_settings = dataclasses.replace(
         settings,
-        max_iterations=32 * settings.max_iterations,
-        max_samples=32 * settings.max_samples,
+        max_iterations=8 * settings.max_iterations,
+        max_samples=8 * settings.max_samples,
     )
+    RETRY_B = 32  # fixed straggler batch size so the retry compiles once
 
     data = load_problems(robot)
     problems, names = [], []
@@ -364,15 +365,20 @@ def run_suite(
     env_b = batches(envs)
     st_b, gl_b, mk_b = batches(starts), batches(goals), batches(masks)
 
-    if warmup:  # compile outside the timed region
+    retry_fn = jax.jit(
+        lambda e, s, g, m: rrtc.plan_batch(spec, e, s, g, m, retry_settings)
+    )
+
+    if warmup:  # compile every phase outside the timed region
         r = plan_fn(env_b[0], st_b[0], gl_b[0], mk_b[0])
         jax.block_until_ready(r)
         sr = simp_fn(env_b[0], r.path, r.path_length)
         jax.block_until_ready(sr)
-
-    retry_fn = jax.jit(
-        lambda e, s, g, m: rrtc.plan_batch(spec, e, s, g, m, retry_settings)
-    )
+        take0 = np.resize(np.arange(1), RETRY_B)
+        sub0 = jax.tree_util.tree_map(
+            lambda a: a[take0], (env_b[0], st_b[0], gl_b[0], mk_b[0])
+        )
+        jax.block_until_ready(retry_fn(*sub0))
 
     plan_parts, simp_parts = [], []
     t_plan = t_simp = 0.0
@@ -382,18 +388,18 @@ def run_suite(
         jax.block_until_ready(pr)
         unsolved = ~np.asarray(pr.solved)
         if unsolved.any():
-            # rerun stragglers with a 16x budget (pad by repeating)
+            # rerun stragglers at the 8x budget in fixed-size batches
             idx = np.flatnonzero(unsolved)
-            take = np.resize(idx, max(8, len(idx)))
-            sub = jax.tree_util.tree_map(lambda a: a[take], (e, s_, g, m))
-            rr = retry_fn(*sub)
-            jax.block_until_ready(rr)
-            merged = {}
-            for field in pr._fields:
-                arr = np.array(getattr(pr, field))  # writable copy
-                arr[idx] = np.asarray(getattr(rr, field))[: len(idx)]
-                merged[field] = jnp.asarray(arr)
-            pr = rrtc.RRTCResult(**merged)
+            merged = {f: np.array(getattr(pr, f)) for f in pr._fields}
+            for off in range(0, len(idx), RETRY_B):
+                part = idx[off : off + RETRY_B]
+                take = np.resize(part, RETRY_B)
+                sub = jax.tree_util.tree_map(lambda a: a[take], (e, s_, g, m))
+                rr = retry_fn(*sub)
+                jax.block_until_ready(rr)
+                for f in pr._fields:
+                    merged[f][part] = np.asarray(getattr(rr, f))[: len(part)]
+            pr = rrtc.RRTCResult(**{f: jnp.asarray(v) for f, v in merged.items()})
         t1 = time.perf_counter()
         sr = simp_fn(e, pr.path, pr.path_length)
         jax.block_until_ready(sr)

@@ -263,6 +263,28 @@ def fkcc_pallas_batched(
     return out.reshape(B, G * BLOCK)[:, :n].reshape((B,) + inner).astype(bool)
 
 
+def fkcc_pallas_batched_lanes(
+    spec: RobotSpec, envs: Environment, q_d: jnp.ndarray
+) -> jnp.ndarray:
+    """Lanes-layout entry: q_d (B, d, N) -> (B, N) bool validity.
+
+    Avoids the expensive (N, d) -> (d, N) relayout (minor-dim-7 transposes are
+    ~4x the kernel cost at large N): callers that can build configuration
+    blocks dimension-major hand them over directly; the (B, d, N) ->
+    (B, d, G, 8, 128) reshape is layout-preserving.
+    """
+    B, d, n = q_d.shape
+    G = max((n + BLOCK - 1) // BLOCK, 1)
+    pad = G * BLOCK - n
+    q_d = jnp.concatenate([q_d, jnp.zeros((B, d, pad), q_d.dtype)], axis=2)
+    qg = q_d.reshape(B, d, G, 8, 128)
+    out = _run(
+        spec, envs.spheres, envs.capsules, envs.z_capsules, envs.cuboids,
+        envs.z_cuboids, qg,
+    )
+    return out.reshape(B, G * BLOCK)[:, :n]
+
+
 def fkcc_pallas(spec: RobotSpec, env: Environment, q: jnp.ndarray) -> jnp.ndarray:
     """(..., d) configurations, single environment -> (...) bool validity."""
     batch = q.shape[:-1]
@@ -272,6 +294,47 @@ def fkcc_pallas(spec: RobotSpec, env: Environment, q: jnp.ndarray) -> jnp.ndarra
 
 
 _VMAP_CACHE: dict[int, object] = {}
+_VMAP_LANES_CACHE: dict[int, object] = {}
+
+
+def fkcc_hot_lanes(spec: RobotSpec, env: Environment, q_d: jnp.ndarray) -> jnp.ndarray:
+    """Single-problem lanes-layout fkcc: q_d (d, N) -> (N,) bool, with a
+    custom vmap rule lowering a problem batch to one kernel launch."""
+    key = id(spec)
+    if key not in _VMAP_LANES_CACHE:
+
+        @jax.custom_batching.custom_vmap
+        def f(env, q_d):
+            return fkcc_pallas_batched_lanes(
+                spec, jax.tree_util.tree_map(lambda a: a[None], env), q_d[None]
+            )[0]
+
+        @f.def_vmap
+        def _rule(axis_size, in_batched, env, q_d):
+            env_b, q_b = in_batched
+            env_is_batched = any(jax.tree_util.tree_leaves(env_b))
+            if not q_b:
+                q_d = jnp.broadcast_to(q_d[None], (axis_size,) + q_d.shape)
+            if not env_is_batched:
+                # shared environment: fold the batch into the lane dimension
+                # and RECURSE through f, so an enclosing vmap (e.g. problems
+                # around pair-chunks) still hits this rule instead of
+                # serializing the raw pallas_call.
+                B, d, n = q_d.shape
+                folded = jnp.transpose(q_d, (1, 0, 2)).reshape(d, B * n)
+                out = f(env, folded)
+                return out.reshape(B, n), True
+            env = jax.tree_util.tree_map(
+                lambda leaf, b: leaf
+                if b
+                else jnp.broadcast_to(leaf[None], (axis_size,) + leaf.shape),
+                env,
+                env_b,
+            )
+            return fkcc_pallas_batched_lanes(spec, env, q_d), True
+
+        _VMAP_LANES_CACHE[key] = f
+    return _VMAP_LANES_CACHE[key](env, q_d)
 
 
 def fkcc_hot(spec: RobotSpec, env: Environment, q: jnp.ndarray) -> jnp.ndarray:

@@ -55,6 +55,11 @@ class SimplifySettings:
     # kernel invocation (None = no chunking; safe with the Pallas fkcc, which
     # streams configurations without materializing FK intermediates)
     pair_chunk: int | None = 64
+    # shortcut pair-compaction caps: the first driver iteration sees the raw
+    # planner path (cap_first pairs); subsequent iterations see the already-
+    # shortcut path, which is short (cap_rest covers paths <= ~18 vertices)
+    pair_cap_first: int = 1024
+    pair_cap_rest: int = 128
 
 
 class SimplifyResult(NamedTuple):
@@ -79,7 +84,7 @@ def _pad_tail(path: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((k < length)[:, None], path, last[None, :])
 
 
-def _shortcut(spec, env, path, length, num_long, chunk, pair_cap=1024):
+def _shortcut(spec, env, path, length, num_long, chunk, pair_cap):
     """Batched-validation greedy shortcut (reference simplify.hh:115-141).
 
     Pair compaction: of the P*(P-1)/2 static candidate pairs, only those
@@ -287,13 +292,16 @@ def simplify(
         spec, env, first, last, num_long
     )
 
-    def driver(path, length):
+    def make_body(pair_cap):
         def body(carry):
             path, length, _, iters, key = carry
             changed = jnp.asarray(False)
             for op in s.operations:
                 if op == "shortcut":
-                    path, length, ch = _shortcut(spec, env, path, length, num_long, s.pair_chunk)
+                    path, length, ch = _shortcut(
+                        spec, env, path, length, num_long, s.pair_chunk,
+                        pair_cap=pair_cap,
+                    )
                 elif op == "bspline":
                     path, length, ch = _bspline(spec, env, path, length, s, num_long)
                 elif op == "reduce":
@@ -307,12 +315,21 @@ def simplify(
                 changed = changed | ch
             return path, length, changed, iters + 1, key
 
+        return body
+
+    def driver(path, length):
+        # first iteration at the full pair cap (raw planner path)
+        path, length, changed, iters, key = make_body(s.pair_cap_first)(
+            (path, length, jnp.asarray(True), jnp.int32(0), rng_key)
+        )
+
+        # remaining iterations at the small cap (paths are short by now)
         def cond(carry):
             _, _, changed, iters, _ = carry
             return changed & (iters < s.max_iterations)
 
         path, length, _, iters, _ = jax.lax.while_loop(
-            cond, body, (path, length, jnp.asarray(True), jnp.int32(0), rng_key)
+            cond, make_body(s.pair_cap_rest), (path, length, changed, iters, key)
         )
         return path, length, iters
 

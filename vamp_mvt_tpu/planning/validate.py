@@ -90,13 +90,31 @@ def validate_motion_batch(
     E must be divisible by the chunk.
     """
 
+    use_lanes = jax.default_backend() not in ("cpu",)
+    if use_lanes:
+        from vamp_mvt_tpu.ops.kernels import fkcc_pallas as fp
+
+        use_lanes = fp.supports(env)
+
     def run(starts, goals):
+        E = starts.shape[0]
         vectors = goals - starts
         dists = jnp.sqrt(jnp.sum(vectors * vectors, axis=-1))
         n = jnp.maximum(jnp.ceil(dists * (spec.resolution / RAKE)), 1.0)
         N = RAKE * n  # (E,)
         k = jnp.arange(1, num + 1, dtype=jnp.float32)
         frac = jnp.minimum(k[None, :] / N[:, None], 1.0)  # (E, num)
+        if use_lanes:
+            # build the block dimension-major: (d, E, num) -> (d, E*num); the
+            # fused kernel consumes lanes-layout directly, skipping the
+            # expensive minor-dim transpose of an (E, num, d) block
+            from vamp_mvt_tpu.ops.kernels import fkcc_pallas as fp
+
+            block_d = (
+                starts.T[:, :, None] + vectors.T[:, :, None] * frac[None]
+            ).reshape(spec.dimension, E * num)
+            ok = fp.fkcc_hot_lanes(spec, env, block_d).reshape(E, num)
+            return jnp.all(ok, axis=-1)
         block = starts[:, None, :] + vectors[:, None, :] * frac[:, :, None]
         return jnp.all(fkcc(spec, env, block), axis=-1)
 

@@ -278,6 +278,40 @@ class SuiteResult:
             "problems_per_sec": total / max(self.plan_time + self.simp_time, 1e-9),
         }
 
+    def percentile_table(self) -> str:
+        """Percentile table mirroring the reference's evaluate_mbm output
+        (scripts/evaluate_mbm.py:186-276): distributions over solved problems."""
+        solved = np.asarray(self.plan.solved) & self.valid
+        rows = []
+        pcts = [50, 75, 95, 99]
+        metrics = {
+            "initial_cost": np.asarray(self.plan.cost)[solved],
+            "simplified_cost": np.asarray(self.simplified.cost)[solved],
+            "samples": np.asarray(self.plan.iterations)[solved],
+            "graph_size": (
+                np.asarray(self.plan.size_start) + np.asarray(self.plan.size_goal)
+            )[solved],
+            "initial_path_vertices": np.asarray(self.plan.path_length)[solved],
+            "simplified_path_vertices": np.asarray(self.simplified.path_length)[solved],
+        }
+        header = f"{'metric':<26}" + "".join(f"{p:>10}%" for p in pcts) + f"{'mean':>11}"
+        rows.append(header)
+        for name, vals in metrics.items():
+            if not len(vals):
+                continue
+            qs = np.percentile(vals, pcts)
+            rows.append(
+                f"{name:<26}"
+                + "".join(f"{q:>11.2f}" for q in qs)
+                + f"{vals.mean():>11.2f}"
+            )
+        s = self.summary()
+        rows.append(
+            f"Solved {s['solved_problems']} / Valid {s['valid_problems']} / "
+            f"Total {s['total_problems']}"
+        )
+        return "\n".join(rows)
+
 
 def _tree_concat(results):
     return jax.tree_util.tree_map(lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *results)
@@ -311,10 +345,11 @@ def run_suite(
         )
     if simp_settings is None:
         simp_settings = simplify.SimplifySettings(pair_chunk=64)
-    # straggler phase: rerun unsolved problems with a larger sample budget
+    # straggler phase: rerun unsolved problems with a much larger sample
+    # budget (the node buffer grows less: insertion rate is ~10-20%)
     retry_settings = dataclasses.replace(
         settings,
-        max_iterations=8 * settings.max_iterations,
+        max_iterations=32 * settings.max_iterations,
         max_samples=8 * settings.max_samples,
     )
     RETRY_B = 32  # fixed straggler batch size so the retry compiles once
@@ -349,8 +384,8 @@ def run_suite(
     )(envs, goals, masks & goal_bounds)
     valid = np.asarray(valid_start & valid_goal)[:n_real]
 
-    plan_fn = jax.jit(
-        lambda e, s, g, m: rrtc.plan_batch(spec, e, s, g, m, settings)
+    plan_fn = lambda e, s, g, m: rrtc.plan_batch_compact(
+        spec, e, s, g, m, settings, segment_steps=64
     )
     simp_fn = jax.jit(
         lambda e, p, l: simplify.simplify_batch(spec, e, p, l, simp_settings)
@@ -365,20 +400,21 @@ def run_suite(
     env_b = batches(envs)
     st_b, gl_b, mk_b = batches(starts), batches(goals), batches(masks)
 
-    retry_fn = jax.jit(
-        lambda e, s, g, m: rrtc.plan_batch(spec, e, s, g, m, retry_settings)
+    retry_fn = lambda e, s, g, m: rrtc.plan_batch_compact(
+        spec, e, s, g, m, retry_settings, segment_steps=128, min_batch=8
     )
 
-    if warmup:  # compile every phase outside the timed region
+    if warmup:
+        # The compacting driver compiles one program per batch size it visits;
+        # warm everything by running the full pipeline once on the real data.
         r = plan_fn(env_b[0], st_b[0], gl_b[0], mk_b[0])
-        jax.block_until_ready(r)
         sr = simp_fn(env_b[0], r.path, r.path_length)
         jax.block_until_ready(sr)
         take0 = np.resize(np.arange(1), RETRY_B)
         sub0 = jax.tree_util.tree_map(
             lambda a: a[take0], (env_b[0], st_b[0], gl_b[0], mk_b[0])
         )
-        jax.block_until_ready(retry_fn(*sub0))
+        jax.block_until_ready(retry_fn(*sub0).solved)
 
     plan_parts, simp_parts = [], []
     t_plan = t_simp = 0.0

@@ -61,6 +61,9 @@ class RRTCSettings:
     max_path: int = 256          # path buffer capacity P
     samples_per_step: int = 1    # K parallel extensions per step (1 = reference)
     connect_segments: int = 1    # C connect increments per step (1 = reference)
+    # "halton" (reference default) or "threefry" (counter-based pseudo-random,
+    # the TPU counterpart of the reference's x86-only XORShift sampler)
+    sampler: str = "halton"
 
 
 class RRTCResult(NamedTuple):
@@ -113,7 +116,11 @@ def _make_step(
     dyn = jnp.asarray(s.dynamic_domain)
 
     def draw_samples(idx0):
-        unit = halton(idx0 + jnp.arange(K), d)  # (K, d)
+        if s.sampler == "threefry":
+            key = jax.random.fold_in(jax.random.PRNGKey(8), idx0)
+            unit = jax.random.uniform(key, (K, d))
+        else:
+            unit = halton(idx0 + jnp.arange(K), d)  # (K, d)
         if phs is None:
             return unit * spans + lows
         # informed sampling: PHS transform + joint-limit clamp (phs.hh:161-171)
@@ -360,26 +367,19 @@ def _recover_path(st: _State, P: int, d: int):
     return path, total, cost
 
 
-def plan(
+def _init_state(
     spec: RobotSpec,
     env: Environment,
-    start: jnp.ndarray,           # (d,)
-    goals: jnp.ndarray,           # (G, d)
-    goal_mask: jnp.ndarray,       # (G,) bool
+    start: jnp.ndarray,
+    goals: jnp.ndarray,
+    goal_mask: jnp.ndarray,
     settings: RRTCSettings,
-    sample_offset: jnp.ndarray | int = 0,
-    phs=None,
-) -> RRTCResult:
-    """Solve one problem. Batch across problems with jax.vmap.
-
-    sample_offset mirrors the reference's RNG `skip` (robot_helper.hh:370-379).
-    phs: optional planning.phs.PHS for informed sampling (AORRTC's anytime
-    loop, reference aorrtc.hh:450-459).
-    """
+    sample_offset,
+):
+    """Initial planner state + direct-connection info (rrtc.hh:60-96)."""
     s = settings
-    M, P, d = s.max_samples, s.max_path, spec.dimension
+    M, d = s.max_samples, spec.dimension
     G = goals.shape[0]
-    num_points = validate_mod.n_points_bound(spec, s.range)
 
     # --- straight-line goal check (rrtc.hh:60-73)
     span = float(np.linalg.norm(spec.limits_high - spec.limits_low))
@@ -427,20 +427,43 @@ def plan(
         junction_b=jnp.int32(0),
         a_start_at_join=jnp.asarray(True),
     )
+    return st, any_direct, first_direct
 
-    step = _make_step(spec, s, env, num_points, phs=phs)
 
+def _cond(s: RRTCSettings):
     def cond(st: _State):
         # a pending connect phase may finish past the sample budget, as in the
         # reference (its connect loop runs inside the final iteration)
         budget = (st.iters < s.max_iterations) | st.connect
-        return (~st.done) & budget & (st.n_nodes < M)
+        return (~st.done) & budget & (st.n_nodes < s.max_samples)
 
-    st = jax.lax.while_loop(cond, step, st)
+    return cond
 
+
+def _run_steps(spec, s, env, st, num_points, phs=None, max_steps=None):
+    """Advance the state machine until done/budget (or at most max_steps)."""
+    step = _make_step(spec, s, env, num_points, phs=phs)
+    cond = _cond(s)
+    if max_steps is None:
+        return jax.lax.while_loop(cond, step, st)
+
+    def body(carry):
+        st, k = carry
+        return step(st), k + 1
+
+    st, _ = jax.lax.while_loop(
+        lambda c: cond(c[0]) & (c[1] < max_steps), body, (st, jnp.int32(0))
+    )
+    return st
+
+
+def _finalize(
+    spec, s: RRTCSettings, st: _State, start, goals, any_direct, first_direct
+) -> RRTCResult:
+    """Path recovery + direct-connection overrides (rrtc.hh:193-224)."""
+    P, d = s.max_path, spec.dimension
     path, total, cost = _recover_path(st, P, d)
 
-    # Direct-connection result overrides (path = [start, goal])
     direct_goal = goals[first_direct]
     k = jnp.arange(P)
     direct_path = jnp.where((k == 0)[:, None], start[None, :], direct_goal[None, :])
@@ -463,6 +486,31 @@ def plan(
     )
 
 
+def plan(
+    spec: RobotSpec,
+    env: Environment,
+    start: jnp.ndarray,           # (d,)
+    goals: jnp.ndarray,           # (G, d)
+    goal_mask: jnp.ndarray,       # (G,) bool
+    settings: RRTCSettings,
+    sample_offset: jnp.ndarray | int = 0,
+    phs=None,
+) -> RRTCResult:
+    """Solve one problem. Batch across problems with jax.vmap.
+
+    sample_offset mirrors the reference's RNG `skip` (robot_helper.hh:370-379).
+    phs: optional planning.phs.PHS for informed sampling (AORRTC's anytime
+    loop, reference aorrtc.hh:450-459).
+    """
+    s = settings
+    num_points = validate_mod.n_points_bound(spec, s.range)
+    st, any_direct, first_direct = _init_state(
+        spec, env, start, goals, goal_mask, s, sample_offset
+    )
+    st = _run_steps(spec, s, env, st, num_points, phs=phs)
+    return _finalize(spec, s, st, start, goals, any_direct, first_direct)
+
+
 def plan_batch(
     spec: RobotSpec,
     envs: Environment,              # batched environment (leading axis B)
@@ -478,3 +526,96 @@ def plan_batch(
     return jax.vmap(
         lambda e, st, g, m, o: plan(spec, e, st, g, m, settings, o)
     )(envs, starts, goals, goal_masks, sample_offsets)
+
+
+_COMPACT_CACHE: dict = {}
+
+
+def plan_batch_compact(
+    spec: RobotSpec,
+    envs: Environment,
+    starts: jnp.ndarray,
+    goals: jnp.ndarray,
+    goal_masks: jnp.ndarray,
+    settings: RRTCSettings,
+    sample_offsets: jnp.ndarray | None = None,
+    segment_steps: int = 64,
+    min_batch: int = 32,
+) -> RRTCResult:
+    """Lockstep planning with straggler compaction.
+
+    Lockstep batches pay for their slowest member: the batch keeps stepping
+    until the hardest problem finishes.  This driver runs the state machine in
+    segments of `segment_steps`, and whenever the active (unfinished) count
+    drops below the next power of two, finalizes the finished problems and
+    gathers the stragglers into a smaller batch — so total device work tracks
+    the SUM of per-problem steps instead of B x max.  Results are identical to
+    plan_batch (each problem runs the exact same step sequence).
+    """
+    B = starts.shape[0]
+    if sample_offsets is None:
+        sample_offsets = jnp.zeros(B, jnp.int32)
+
+    key = (id(spec), settings, segment_steps)
+    if key not in _COMPACT_CACHE:
+        num_points = validate_mod.n_points_bound(spec, settings.range)
+        init_fn = jax.jit(
+            jax.vmap(
+                lambda e, st, g, m, o: _init_state(
+                    spec, e, st, g, m, settings, o
+                )
+            )
+        )
+        seg_fn = jax.jit(
+            jax.vmap(
+                lambda e, st: _run_steps(
+                    spec, settings, e, st, num_points, max_steps=segment_steps
+                )
+            )
+        )
+        fin_fn = jax.jit(
+            jax.vmap(
+                lambda st, s, g, ad, fd: _finalize(
+                    spec, settings, st, s, g, ad, fd
+                )
+            )
+        )
+        active_fn = jax.jit(jax.vmap(_cond(settings)))
+        _COMPACT_CACHE[key] = (init_fn, seg_fn, fin_fn, active_fn)
+    init_fn, seg_fn, fin_fn, active_fn = _COMPACT_CACHE[key]
+
+    st, ad, fd = init_fn(envs, starts, goals, goal_masks, sample_offsets)
+    work = dict(envs=envs, starts=starts, goals=goals, ad=ad, fd=fd)
+    gidx = np.arange(B)
+    out: dict[str, np.ndarray] = {}
+
+    def write_back(res, rows):
+        for f in res._fields:
+            arr = np.asarray(getattr(res, f))
+            if f not in out:
+                out[f] = np.zeros((B,) + arr.shape[1:], arr.dtype)
+            out[f][gidx[rows]] = arr[rows]
+
+    while True:
+        st = seg_fn(work["envs"], st)
+        active = np.asarray(active_fn(st)) & (gidx >= 0)
+        n_act = int(active.sum())
+        cur = len(gidx)
+        if n_act == 0:
+            res = fin_fn(st, work["starts"], work["goals"], work["ad"], work["fd"])
+            write_back(res, gidx >= 0)
+            break
+        target = max(min_batch, 1 << int(np.ceil(np.log2(n_act))))
+        if target < cur:
+            # finalize and retire everything not active, compact the rest
+            res = fin_fn(st, work["starts"], work["goals"], work["ad"], work["fd"])
+            write_back(res, (~active) & (gidx >= 0))
+            keep = np.flatnonzero(active)
+            take = np.resize(keep, target)
+            st = jax.tree_util.tree_map(lambda a: a[take], st)
+            work = jax.tree_util.tree_map(lambda a: a[take], work)
+            new_gidx = gidx[take]
+            new_gidx[len(keep):] = -1  # padding rows
+            gidx = new_gidx
+
+    return RRTCResult(**{f: jnp.asarray(v) for f, v in out.items()})

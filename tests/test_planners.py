@@ -101,3 +101,44 @@ def test_aorrtc_improves_over_rrtc():
     # final path is valid
     L = int(res.path_length)
     _check_segments(spec, env, np.asarray(res.path)[:L])
+
+
+def test_aox_respects_cost_bound():
+    """AOX_RRTC connections must improve on the incumbent cost bound."""
+    from vamp_mvt_tpu.planning import aox
+
+    spec = registry.sphere_spec(lows=(-3, -3, 0), highs=(3, 3, 3), radius=0.1)
+    env = _wall_env()
+    start = jnp.asarray([-2.0, 0.0, 1.0])
+    goal = jnp.asarray([[2.0, 0.0, 1.0]])
+    base = rrtc.RRTCSettings(range=1.0, max_iterations=1024, max_samples=1024,
+                             max_path=64)
+    r0 = jax.jit(
+        lambda e, s, g, m: rrtc.plan(spec, e, s, g, m, base)
+    )(env, start, goal, jnp.asarray([True]))
+    assert bool(r0.solved)
+    bound = float(r0.cost)
+
+    r1 = jax.jit(
+        lambda e, s, g, m, mc: aox.solve(spec, e, s, g, m, base, mc)
+    )(env, start, goal, jnp.asarray([True]), jnp.float32(bound))
+    if bool(r1.solved):
+        assert float(r1.cost) < bound + 1e-4
+        _check_segments(spec, env, np.asarray(r1.path)[: int(r1.path_length)])
+
+
+def test_aorrtc_aox_mode():
+    spec = registry.sphere_spec(lows=(-3, -3, 0), highs=(3, 3, 3), radius=0.1)
+    env = _wall_env()
+    start = [-2.0, 0.0, 1.0]
+    goal = [[2.0, 0.0, 1.0]]
+    base = rrtc.RRTCSettings(range=1.0, max_iterations=512, max_samples=512,
+                             max_path=64)
+    settings = aorrtc.AORRTCSettings(
+        rrtc=base, max_iterations=3072, max_internal_iterations=512,
+        anytime=False,
+    )
+    res, iters = aorrtc.solve(spec, env, start, goal, settings)
+    L = int(res.path_length)
+    _check_segments(spec, env, np.asarray(res.path)[:L])
+    assert float(res.cost) < 12.0

@@ -400,8 +400,9 @@ def run_suite(
     env_b = batches(envs)
     st_b, gl_b, mk_b = batches(starts), batches(goals), batches(masks)
 
+    # min_batch == RETRY_B so the warmup visits every compiled retry size
     retry_fn = lambda e, s, g, m: rrtc.plan_batch_compact(
-        spec, e, s, g, m, retry_settings, segment_steps=128, min_batch=8
+        spec, e, s, g, m, retry_settings, segment_steps=128, min_batch=RETRY_B
     )
 
     if warmup:

@@ -5,12 +5,10 @@ aorrtc.hh:350-492): RRT-Connect for an initial solution, intermediate
 simplification, then repeated informed searches with a prolate-hyperspheroid
 sampler whose transverse diameter shrinks with every improvement.
 
-This implementation uses the reference's `anytime` configuration
-(aorrtc.hh:449-462): each refinement round is a fresh (batched, device-side)
-RRT-Connect over the PHS-restricted sample distribution, which reuses the
-TPU lockstep planner wholesale.  The AOX_RRTC cost-augmented-space variant
-(aorrtc.hh:20-342) is not yet implemented; `anytime=False` falls back to the
-anytime strategy.
+Both reference refinement strategies are implemented: `anytime=True` runs
+fresh RRT-Connect searches over the PHS-restricted sample distribution
+(aorrtc.hh:449-462); `anytime=False` (the reference default) runs AOX_RRTC
+cost-bounded searches in the augmented space (planning/aox.py).
 
 Multi-chip note: when a batch of AORRTC problems is sharded over a mesh, the
 only cross-chip state is each problem's best cost — chip-local here; see
@@ -45,7 +43,7 @@ class AORRTCSettings:
     optimize: bool = True
     simplify_intermediate: bool = True
     use_phs: bool = True
-    anytime: bool = True
+    anytime: bool = False
     max_iterations: int = 32768
     max_internal_iterations: int = 4096
 
@@ -110,21 +108,39 @@ def solve(
 
     # one compiled internal search, reused across refinement rounds
     internal = dataclasses.replace(s.rrtc, max_iterations=s.max_internal_iterations)
-    plan_internal_phs = jax.jit(
-        lambda e, st, g, m, off, p: rrtc_mod.plan(spec, e, st, g, m, internal, off, phs=p)
-    )
-    plan_internal = jax.jit(
-        lambda e, st, g, m, off: rrtc_mod.plan(spec, e, st, g, m, internal, off)
-    )
+    if s.anytime:
+        plan_internal_phs = jax.jit(
+            lambda e, st, g, m, off, p: rrtc_mod.plan(
+                spec, e, st, g, m, internal, off, phs=p
+            )
+        )
+        plan_internal = jax.jit(
+            lambda e, st, g, m, off: rrtc_mod.plan(spec, e, st, g, m, internal, off)
+        )
+    else:
+        # AOX_RRTC cost-bounded search (reference aorrtc.hh:443)
+        from vamp_mvt_tpu.planning import aox
+
+        plan_internal_phs = jax.jit(
+            lambda e, st, g, m, off, p, mc: aox.solve(
+                spec, e, st, g, m, internal, mc, off, phs=p
+            )
+        )
+        plan_internal = jax.jit(
+            lambda e, st, g, m, off, mc: aox.solve(
+                spec, e, st, g, m, internal, mc, off
+            )
+        )
 
     while iters < s.max_iterations and (best_cost - best_possible) > 1e-8:
         phs = make_phs(start, goals[0], best_cost) if (s.use_phs and G == 1) else None
+        extra = () if s.anytime else (jnp.float32(best_cost),)
         if phs is not None:
             r = plan_internal_phs(env, jnp.asarray(start), jnp.asarray(goals), mask,
-                                  jnp.int32(offset), phs)
+                                  jnp.int32(offset), phs, *extra)
         else:
             r = plan_internal(env, jnp.asarray(start), jnp.asarray(goals), mask,
-                              jnp.int32(offset))
+                              jnp.int32(offset), *extra)
         iters += int(r.iterations)
         offset += int(r.sample_count)
         if bool(r.solved):

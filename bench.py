@@ -14,6 +14,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 BASELINE_PROBLEMS_PER_SEC = 700 / 0.2109
 
@@ -43,6 +45,7 @@ def main():
         json.dumps({"detail": summary, "total_wall_s": round(time.time() - t0, 2)}),
         file=sys.stderr,
     )
+    print(res.percentile_table(), file=sys.stderr)
 
 
 if __name__ == "__main__":

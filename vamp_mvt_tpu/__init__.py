@@ -13,6 +13,23 @@ Public surface mirrors the reference's Python API:
     result = vmt.panda.rrtc(start, goal, env)
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: planner while-loop programs take minutes to
+# compile here; cache them across processes (opt out with
+# VAMP_MVT_TPU_NO_COMPCACHE=1).
+if _os.environ.get("VAMP_MVT_TPU_NO_COMPCACHE") != "1":
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/vamp_mvt_tpu_jax"),
+        ),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 from vamp_mvt_tpu.api import (  # noqa: F401
     AORRTCSettings,
     Attachment,

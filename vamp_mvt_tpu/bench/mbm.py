@@ -345,12 +345,14 @@ def run_suite(
         )
     if simp_settings is None:
         simp_settings = simplify.SimplifySettings(pair_chunk=64)
-    # straggler phase: rerun unsolved problems with a much larger sample
-    # budget (the node buffer grows less: insertion rate is ~10-20%)
+    # straggler phase: much larger sample budget at high K (fewer lockstep
+    # steps; per-step fixed cost dominates at small batch sizes)
     retry_settings = dataclasses.replace(
         settings,
         max_iterations=32 * settings.max_iterations,
         max_samples=8 * settings.max_samples,
+        samples_per_step=64,
+        connect_segments=16,
     )
     RETRY_B = 32  # fixed straggler batch size so the retry compiles once
 

@@ -27,7 +27,7 @@ def main():
     res = mbm.run_suite(
         "panda",
         problem_names=list(mbm.STANDARD_SCENARIOS),
-        batch_size=100,
+        batch_size=700,
     )
     summary = res.summary()
     value = summary["problems_per_sec"]

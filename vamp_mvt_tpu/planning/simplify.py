@@ -60,6 +60,12 @@ class SimplifySettings:
     # shortcut path, which is short (cap_rest covers paths <= ~18 vertices)
     pair_cap_first: int = 1024
     pair_cap_rest: int = 128
+    # job-list capacities for the exact-N compacted validator
+    # (validate_motion_jobs): interpolation points summed over live segments.
+    # Overflow is conservative (excess segments treated as invalid).
+    shortcut_jobs_first: int = 16384
+    shortcut_jobs_rest: int = 4096
+    bspline_jobs: int = 8192
 
 
 class SimplifyResult(NamedTuple):
@@ -84,15 +90,17 @@ def _pad_tail(path: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((k < length)[:, None], path, last[None, :])
 
 
-def _shortcut(spec, env, path, length, num_long, chunk, pair_cap):
+def _shortcut(spec, env, path, length, pair_cap, job_cap):
     """Batched-validation greedy shortcut (reference simplify.hh:115-141).
 
     Pair compaction: of the P*(P-1)/2 static candidate pairs, only those
     inside the live path (j < length, typically a few hundred) are gathered
-    into a pair_cap-sized compact list for the fused validation — padding
-    pairs would otherwise dominate the kernel cost.  Paths long enough to
-    exceed pair_cap candidate pairs simply lose the excess (longest-j) pairs
-    as shortcut candidates; validity is never affected.
+    into a pair_cap-sized compact list, then validated with per-pair exact
+    interpolation counts via the job-compacted validator (padding pairs and
+    worst-case point padding would otherwise dominate the kernel cost).
+    Paths long enough to exceed pair_cap candidate pairs (or job_cap points)
+    simply lose the excess pairs as shortcut candidates; validity is never
+    affected.
     """
     P = path.shape[0]
     # All pairs (i, j) with j >= i + 2; a static index list.
@@ -105,10 +113,8 @@ def _shortcut(spec, env, path, length, num_long, chunk, pair_cap):
     order = jnp.argsort(~in_range, stable=True)[:cap]
     ii_c, jj_c = ii[order], jj[order]
     live = in_range[order]
-    starts = path[ii_c]
-    goals = jnp.where(live[:, None], path[jj_c], starts)
-    vflat = validate_mod.validate_motion_batch(
-        spec, env, starts, goals, num_long, chunk=chunk
+    vflat = validate_mod.validate_motion_jobs(
+        spec, env, path[ii_c], path[jj_c], live, job_cap
     )
     V = jnp.zeros((P, P), bool).at[ii_c, jj_c].set(vflat & live)
 
@@ -137,7 +143,7 @@ def _shortcut(spec, env, path, length, num_long, chunk, pair_cap):
     return path[idx], n, changed
 
 
-def _bspline(spec, env, path, length, s: SimplifySettings, num_long):
+def _bspline(spec, env, path, length, s: SimplifySettings):
     """One (or max_steps) subdivide + midpoint-pull passes (simplify.hh:14-53)."""
     P, d = path.shape
     mi = s.bspline_midpoint_interpolation
@@ -163,13 +169,12 @@ def _bspline(spec, env, path, length, s: SimplifySettings, num_long):
 
         cand = can & (j % 2 == 0) & (j >= 2) & (j < length - 1)
         moved = jnp.sqrt(jnp.sum((path - mid) ** 2, -1)) > s.bspline_min_change
-        # both neighbor segments in one batched validation
+        # both neighbor segments in one batched, job-compacted validation
         seg_starts = jnp.concatenate([prev, mid])
         seg_goals = jnp.concatenate([mid, nxt2])
         keep = jnp.concatenate([cand & moved] * 2)
-        seg_goals = jnp.where(keep[:, None], seg_goals, seg_starts)
-        v = validate_mod.validate_motion_batch(
-            spec, env, seg_starts, seg_goals, num_long, chunk=s.pair_chunk
+        v = validate_mod.validate_motion_jobs(
+            spec, env, seg_starts, seg_goals, keep, s.bspline_jobs
         )
         accept = cand & moved & v[:P] & v[P:]
         path = jnp.where(accept[:, None], mid, path)
@@ -292,18 +297,18 @@ def simplify(
         spec, env, first, last, num_long
     )
 
-    def make_body(pair_cap):
+    def make_body(pair_cap, job_cap):
         def body(carry):
             path, length, _, iters, key = carry
             changed = jnp.asarray(False)
             for op in s.operations:
                 if op == "shortcut":
                     path, length, ch = _shortcut(
-                        spec, env, path, length, num_long, s.pair_chunk,
-                        pair_cap=pair_cap,
+                        spec, env, path, length, pair_cap=pair_cap,
+                        job_cap=job_cap,
                     )
                 elif op == "bspline":
-                    path, length, ch = _bspline(spec, env, path, length, s, num_long)
+                    path, length, ch = _bspline(spec, env, path, length, s)
                 elif op == "reduce":
                     key, sub = jax.random.split(key)
                     path, length, ch = _reduce(spec, env, path, length, s, sub, num_long)
@@ -319,9 +324,9 @@ def simplify(
 
     def driver(path, length):
         # first iteration at the full pair cap (raw planner path)
-        path, length, changed, iters, key = make_body(s.pair_cap_first)(
-            (path, length, jnp.asarray(True), jnp.int32(0), rng_key)
-        )
+        path, length, changed, iters, key = make_body(
+            s.pair_cap_first, s.shortcut_jobs_first
+        )((path, length, jnp.asarray(True), jnp.int32(0), rng_key))
 
         # remaining iterations at the small cap (paths are short by now)
         def cond(carry):
@@ -329,7 +334,9 @@ def simplify(
             return changed & (iters < s.max_iterations)
 
         path, length, _, iters, _ = jax.lax.while_loop(
-            cond, make_body(s.pair_cap_rest), (path, length, changed, iters, key)
+            cond,
+            make_body(s.pair_cap_rest, s.shortcut_jobs_rest),
+            (path, length, changed, iters, key),
         )
         return path, length, iters
 

@@ -124,3 +124,57 @@ def test_panda_cage_batch():
     )(batched, starts, goals, masks)
     assert bool(jnp.all(res.solved)), np.asarray(res.solved)
     assert np.asarray(res.cost).max() < 25.0
+
+
+def test_sample_window_equivalence_without_dd():
+    """With dynamic domain off, W>1 consumes/chooses the exact same samples
+    as W=1 (no skips -> the window never advances past the first K)."""
+    spec = registry.load("panda")
+    b = envmod.EnvironmentBuilder()
+    for c in CAGE:
+        b.add_sphere(c, 0.2)
+    env = b.build()
+    base = dict(
+        range=registry.RRT_RANGES["panda"],
+        max_iterations=4096,
+        max_samples=4096,
+        samples_per_step=8,
+        connect_segments=4,
+        dynamic_domain=False,
+    )
+    s1 = rrtc.RRTCSettings(**base, sample_window=1)
+    s4 = rrtc.RRTCSettings(**base, sample_window=4)
+    start = jnp.asarray(PANDA_START)
+    goals = jnp.asarray([PANDA_GOAL])
+    mask = jnp.asarray([True])
+    r1 = _plan_fn(spec, s1)(env, start, goals, mask)
+    r4 = _plan_fn(spec, s4)(env, start, goals, mask)
+    assert bool(r1.solved) and bool(r4.solved)
+    assert int(r1.iterations) == int(r4.iterations)
+    # identical sample choices; tiny FP differences from XLA reassociation
+    np.testing.assert_allclose(
+        np.asarray(r1.path), np.asarray(r4.path), atol=1e-5
+    )
+
+
+def test_sample_window_with_dd_solves():
+    """W>1 with dynamic domain on: lanes are packed with non-skipped samples;
+    result must still be a valid solution."""
+    spec = registry.load("panda")
+    b = envmod.EnvironmentBuilder()
+    for c in CAGE:
+        b.add_sphere(c, 0.2)
+    env = b.build()
+    settings = rrtc.RRTCSettings(
+        range=registry.RRT_RANGES["panda"],
+        max_iterations=2048,
+        max_samples=2048,
+        samples_per_step=8,
+        connect_segments=4,
+        sample_window=4,
+    )
+    start = jnp.asarray(PANDA_START)
+    goals = jnp.asarray([PANDA_GOAL])
+    res = _plan_fn(spec, settings)(env, start, goals, jnp.asarray([True]))
+    assert bool(res.solved)
+    _check_path_valid(spec, env, res)

@@ -342,6 +342,7 @@ def run_suite(
             max_path=96,
             samples_per_step=16,
             connect_segments=8,
+            sample_window=4,
         )
     if simp_settings is None:
         simp_settings = simplify.SimplifySettings(pair_chunk=64)
@@ -353,6 +354,7 @@ def run_suite(
         max_samples=8 * settings.max_samples,
         samples_per_step=64,
         connect_segments=16,
+        sample_window=4,
     )
     RETRY_B = 32  # fixed straggler batch size so the retry compiles once
 
@@ -389,8 +391,8 @@ def run_suite(
     plan_fn = lambda e, s, g, m: rrtc.plan_batch_compact(
         spec, e, s, g, m, settings, segment_steps=64
     )
-    simp_fn = jax.jit(
-        lambda e, p, l: simplify.simplify_batch(spec, e, p, l, simp_settings)
+    simp_fn = lambda e, p, l: simplify.simplify_batch_compact(
+        spec, e, p, l, simp_settings
     )
 
     def batches(arr):

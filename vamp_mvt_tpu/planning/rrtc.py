@@ -61,6 +61,12 @@ class RRTCSettings:
     max_path: int = 256          # path buffer capacity P
     samples_per_step: int = 1    # K parallel extensions per step (1 = reference)
     connect_segments: int = 1    # C connect increments per step (1 = reference)
+    # dynamic-domain pre-filter window: each GROW step examines up to K*W
+    # consecutive samples (NN + radius test only — the reference's dd-skip,
+    # rrtc.hh:123-126) and spends its K validation lanes on the first K
+    # non-skipped ones, consuming exactly the samples examined.  W = 1 means
+    # every examined sample gets a validation lane (skipped ones waste it).
+    sample_window: int = 1
     # "halton" (reference default) or "threefry" (counter-based pseudo-random,
     # the TPU counterpart of the reference's x86-only XORShift sampler)
     sampler: str = "halton"
@@ -108,6 +114,7 @@ def _make_step(
     phs=None,
 ):
     M, K, C = s.max_samples, s.samples_per_step, s.connect_segments
+    KW = K * s.sample_window
     d = spec.dimension
     arange_m = jnp.arange(M)
     lows = jnp.asarray(spec.limits_low)
@@ -118,16 +125,16 @@ def _make_step(
     def draw_samples(idx0):
         if s.sampler == "threefry":
             key = jax.random.fold_in(jax.random.PRNGKey(8), idx0)
-            unit = jax.random.uniform(key, (K, d))
+            unit = jax.random.uniform(key, (KW, d))
         else:
-            unit = halton(idx0 + jnp.arange(K), d)  # (K, d)
+            unit = halton(idx0 + jnp.arange(KW), d)  # (KW, d)
         if phs is None:
             return unit * spans + lows
         # informed sampling: PHS transform + joint-limit clamp (phs.hh:161-171)
         from vamp_mvt_tpu.planning.phs import phs_samples
 
         key = jax.random.fold_in(jax.random.PRNGKey(17), idx0)
-        radius_u = jax.random.uniform(key, (K,))
+        radius_u = jax.random.uniform(key, (KW,))
         q = phs_samples(phs, unit, radius_u)
         return jnp.clip(q, lows, highs)
 
@@ -142,22 +149,43 @@ def _make_step(
         a_is_start = jnp.where(do_swap, ~st.a_is_start, st.a_is_start)
 
         # =============================== GROW ===============================
-        # K consecutive Halton samples (rrtc.hh:110; random/halton.hh:75-108)
-        samples = draw_samples(st.sample_idx)  # (K, d)
+        # KW consecutive Halton samples (rrtc.hh:110; random/halton.hh:75-108)
+        samples = draw_samples(st.sample_idx)  # (KW, d)
 
         node_mask = arange_m < st.n_nodes
         mask_a = node_mask & (st.in_start == a_is_start)
         mask_b = node_mask & (st.in_start != a_is_start)
 
-        # nearest in tree_a for each sample: (K, M)
+        # nearest in tree_a for each sample: (KW, M)
         d2a = jnp.sum((st.configs[None] - samples[:, None]) ** 2, axis=-1)
         d2a = jnp.where(mask_a[None], d2a, _INF)
-        nearest = jnp.argmin(d2a, axis=-1)                       # (K,)
+        nearest = jnp.argmin(d2a, axis=-1)                       # (KW,)
         nearest_dist = jnp.sqrt(jnp.take_along_axis(d2a, nearest[:, None], -1)[:, 0])
-        nearest_cfg = st.configs[nearest]                        # (K, d)
         nearest_radius = st.radii[nearest]
 
-        dd_skip = dyn & (nearest_radius < nearest_dist)          # (K,)
+        dd_skip = dyn & (nearest_radius < nearest_dist)          # (KW,)
+
+        if s.sample_window > 1:
+            # spend the K validation lanes on the first K non-skipped samples;
+            # consume exactly the samples examined to reach them (skipped
+            # samples burn budget without validation — rrtc.hh:123-126)
+            accepted = ~dd_skip
+            acc_rank = jnp.cumsum(accepted.astype(jnp.int32)) - 1
+            chosen = accepted & (acc_rank < K)
+            nth = chosen & (acc_rank == K - 1)
+            consumed = jnp.where(
+                jnp.any(nth), jnp.argmax(nth) + 1, jnp.int32(KW)
+            )
+            perm = jnp.argsort(~chosen, stable=True)[:K]
+            samples = samples[perm]
+            nearest = nearest[perm]
+            nearest_dist = nearest_dist[perm]
+            nearest_radius = nearest_radius[perm]
+            lane_ok = chosen[perm]                               # (K,)
+        else:
+            consumed = jnp.int32(K)
+            lane_ok = ~dd_skip
+        nearest_cfg = st.configs[nearest]                        # (K, d)
 
         reach = nearest_dist < s.range
         scale = jnp.where(reach, 1.0, s.range / jnp.maximum(nearest_dist, 1e-12))
@@ -195,7 +223,7 @@ def _make_step(
         room_for = M - st.n_nodes
 
         # --- grow inserts: every valid, non-dd-skipped extension, in order
-        g_active = grow & ~dd_skip & grow_valid                   # (K,)
+        g_active = grow & lane_ok & grow_valid                    # (K,)
         g_order = jnp.cumsum(g_active.astype(jnp.int32)) - 1      # position offsets
         g_ins = g_active & (g_order < room_for)
         g_pos = jnp.where(g_ins, st.n_nodes + g_order, M)         # M = dropped
@@ -237,7 +265,7 @@ def _make_step(
             jnp.float32(s.radius),
             jnp.maximum(nearest_radius * (1.0 - s.alpha), s.min_radius),
         )
-        g_attempt = grow & ~dd_skip
+        g_attempt = grow & lane_ok
         new_r = jnp.where(
             g_attempt & grow_valid & dyn,
             ok_upd,
@@ -301,8 +329,8 @@ def _make_step(
             size_start=size_start,
             size_goal=size_goal,
             a_is_start=a_is_start,
-            iters=st.iters + jnp.where(grow, K, 0),
-            sample_idx=st.sample_idx + jnp.where(grow, K, 0),
+            iters=st.iters + jnp.where(grow, consumed, 0),
+            sample_idx=st.sample_idx + jnp.where(grow, consumed, 0),
             connect=connect_next,
             c_tip=tip_after,
             c_inc=c_inc_new,

@@ -59,13 +59,14 @@ class SimplifySettings:
     # planner path (cap_first pairs); subsequent iterations see the already-
     # shortcut path, which is short (cap_rest covers paths <= ~18 vertices)
     pair_cap_first: int = 1024
-    pair_cap_rest: int = 128
+    pair_cap_rest: int = 512
     # job-list capacities for the exact-N compacted validator
     # (validate_motion_jobs): interpolation points summed over live segments.
-    # Overflow is conservative (excess segments treated as invalid).
-    shortcut_jobs_first: int = 16384
-    shortcut_jobs_rest: int = 4096
-    bspline_jobs: int = 8192
+    # Overflow is conservative (excess segments treated as invalid); caps are
+    # sized so the observed MBM maximum (~29k first-pass jobs) never overflows.
+    shortcut_jobs_first: int = 32768
+    shortcut_jobs_rest: int = 12288
+    bspline_jobs: int = 16384
 
 
 class SimplifyResult(NamedTuple):
@@ -275,6 +276,37 @@ def _perturb(spec, env, path, length, s: SimplifySettings, key, num_long):
     return path, length, changed
 
 
+def _driver_iteration(spec, env, s: SimplifySettings, pair_cap, job_cap):
+    """One pass of the op sequence (the body of the reference's driver loop,
+    simplify.hh:239-256)."""
+    span = float(np.linalg.norm(spec.limits_high - spec.limits_low))
+    num_long = validate_mod.n_points_bound(spec, span)
+
+    def body(carry):
+        path, length, _, iters, key = carry
+        changed = jnp.asarray(False)
+        for op in s.operations:
+            if op == "shortcut":
+                path, length, ch = _shortcut(
+                    spec, env, path, length, pair_cap=pair_cap,
+                    job_cap=job_cap,
+                )
+            elif op == "bspline":
+                path, length, ch = _bspline(spec, env, path, length, s)
+            elif op == "reduce":
+                key, sub = jax.random.split(key)
+                path, length, ch = _reduce(spec, env, path, length, s, sub, num_long)
+            elif op == "perturb":
+                key, sub = jax.random.split(key)
+                path, length, ch = _perturb(spec, env, path, length, s, sub, num_long)
+            else:
+                raise ValueError(f"unknown op {op}")
+            changed = changed | ch
+        return path, length, changed, iters + 1, key
+
+    return body
+
+
 def simplify(
     spec: RobotSpec,
     env: Environment,
@@ -298,29 +330,7 @@ def simplify(
     )
 
     def make_body(pair_cap, job_cap):
-        def body(carry):
-            path, length, _, iters, key = carry
-            changed = jnp.asarray(False)
-            for op in s.operations:
-                if op == "shortcut":
-                    path, length, ch = _shortcut(
-                        spec, env, path, length, pair_cap=pair_cap,
-                        job_cap=job_cap,
-                    )
-                elif op == "bspline":
-                    path, length, ch = _bspline(spec, env, path, length, s)
-                elif op == "reduce":
-                    key, sub = jax.random.split(key)
-                    path, length, ch = _reduce(spec, env, path, length, s, sub, num_long)
-                elif op == "perturb":
-                    key, sub = jax.random.split(key)
-                    path, length, ch = _perturb(spec, env, path, length, s, sub, num_long)
-                else:
-                    raise ValueError(f"unknown op {op}")
-                changed = changed | ch
-            return path, length, changed, iters + 1, key
-
-        return body
+        return _driver_iteration(spec, env, s, pair_cap, job_cap)
 
     def driver(path, length):
         # first iteration at the full pair cap (raw planner path)
@@ -363,3 +373,117 @@ def simplify_batch(spec, envs, paths, lengths, settings, rng_keys=None):
     return jax.vmap(
         lambda e, p, l, k: simplify(spec, e, p, l, settings, k)
     )(envs, paths, lengths, rng_keys)
+
+
+_COMPACT_CACHE: dict = {}
+
+
+def simplify_batch_compact(
+    spec, envs, paths, lengths, settings, rng_keys=None, min_batch: int = 32
+):
+    """simplify_batch with straggler compaction.
+
+    The vmapped driver loop is lockstep: every problem pays for the slowest
+    path's iteration count.  Here each driver iteration is one device call;
+    problems whose op sequence stopped changing (or that take the straight-
+    line exit) are retired between iterations and the remainder compacted to
+    the next power of two — mirroring rrtc.plan_batch_compact.
+    """
+    s = settings
+    B = paths.shape[0]
+    if rng_keys is None:
+        rng_keys = jax.random.split(jax.random.PRNGKey(0), B)
+
+    key = (id(spec), s)
+    if key not in _COMPACT_CACHE:
+        span = float(np.linalg.norm(spec.limits_high - spec.limits_low))
+        num_long = validate_mod.n_points_bound(spec, span)
+
+        def init(env, path, length, rng_key):
+            first = path[0]
+            last = path[jnp.maximum(length - 1, 0)]
+            straight = (length <= 2) | validate_mod.validate_motion(
+                spec, env, first, last, num_long
+            )
+            path, length, changed, iters, rng_key = _driver_iteration(
+                spec, env, s, s.pair_cap_first, s.shortcut_jobs_first
+            )((path, length, jnp.asarray(True), jnp.int32(0), rng_key))
+            return path, length, changed, iters, rng_key, straight
+
+        def one(env, path, length, changed, iters, rng_key):
+            return _driver_iteration(
+                spec, env, s, s.pair_cap_rest, s.shortcut_jobs_rest
+            )((path, length, changed, iters, rng_key))
+
+        def fin(path, length, iters, straight, orig_path, orig_length):
+            P = path.shape[0]
+            first = orig_path[0]
+            last = orig_path[jnp.maximum(orig_length - 1, 0)]
+            k = jnp.arange(P)
+            straight_path = jnp.where((k == 0)[:, None], first[None], last[None])
+            out_path = jnp.where(straight, straight_path, path)
+            out_len = jnp.where(straight, 2, length)
+            out_path = _pad_tail(out_path, out_len)
+            return SimplifyResult(
+                path=out_path,
+                path_length=out_len,
+                cost=path_cost(out_path, out_len),
+                iterations=jnp.where(straight, 0, iters),
+            )
+
+        _COMPACT_CACHE[key] = (
+            jax.jit(jax.vmap(init)),
+            jax.jit(jax.vmap(one)),
+            jax.jit(jax.vmap(fin)),
+        )
+    init_fn, iter_fn, fin_fn = _COMPACT_CACHE[key]
+
+    path, length, changed, iters, rng_key, straight = init_fn(
+        envs, paths, lengths, rng_keys
+    )
+    work = dict(orig_path=paths, orig_length=lengths)
+    gidx = np.arange(B)
+    out: dict[str, np.ndarray] = {}
+
+    def write_back(res, rows):
+        for f in res._fields:
+            arr = np.asarray(getattr(res, f))
+            if f not in out:
+                out[f] = np.zeros((B,) + arr.shape[1:], arr.dtype)
+            out[f][gidx[rows]] = arr[rows]
+
+    while True:
+        active = (
+            np.asarray(changed)
+            & (np.asarray(iters) < s.max_iterations)
+            & ~np.asarray(straight)
+            & (gidx >= 0)
+        )
+        n_act = int(active.sum())
+        cur = len(gidx)
+        target = max(min_batch, 1 << max(int(np.ceil(np.log2(max(n_act, 1)))), 0))
+        if n_act == 0 or target < cur:
+            res = fin_fn(
+                path, length, iters, straight,
+                work["orig_path"], work["orig_length"],
+            )
+            write_back(res, (~active) & (gidx >= 0))
+            if n_act == 0:
+                break
+            keep = np.flatnonzero(active)
+            take = np.resize(keep, target)
+            path, length, changed, iters, rng_key, straight, work = (
+                jax.tree_util.tree_map(
+                    lambda a: a[take],
+                    (path, length, changed, iters, rng_key, straight, work),
+                )
+            )
+            new_gidx = gidx[take]
+            new_gidx[len(keep):] = -1
+            gidx = new_gidx
+            envs = jax.tree_util.tree_map(lambda a: a[take], envs)
+        path, length, changed, iters, rng_key = iter_fn(
+            envs, path, length, changed, iters, rng_key
+        )
+
+    return SimplifyResult(**{f: jnp.asarray(v) for f, v in out.items()})

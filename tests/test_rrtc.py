@@ -167,8 +167,8 @@ def test_sample_window_with_dd_solves():
     env = b.build()
     settings = rrtc.RRTCSettings(
         range=registry.RRT_RANGES["panda"],
-        max_iterations=2048,
-        max_samples=2048,
+        max_iterations=8192,
+        max_samples=8192,
         samples_per_step=8,
         connect_segments=4,
         sample_window=4,

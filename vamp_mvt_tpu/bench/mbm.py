@@ -352,11 +352,11 @@ def run_suite(
         settings,
         max_iterations=32 * settings.max_iterations,
         max_samples=8 * settings.max_samples,
-        samples_per_step=64,
+        samples_per_step=128,
         connect_segments=16,
         sample_window=4,
     )
-    RETRY_B = 32  # fixed straggler batch size so the retry compiles once
+    RETRY_B = 16  # fixed straggler batch size so the retry compiles once
 
     data = load_problems(robot)
     problems, names = [], []
@@ -406,7 +406,7 @@ def run_suite(
 
     # min_batch == RETRY_B so the warmup visits every compiled retry size
     retry_fn = lambda e, s, g, m: rrtc.plan_batch_compact(
-        spec, e, s, g, m, retry_settings, segment_steps=128, min_batch=RETRY_B
+        spec, e, s, g, m, retry_settings, segment_steps=64, min_batch=RETRY_B
     )
 
     if warmup:

@@ -65,8 +65,8 @@ class SimplifySettings:
     # Overflow is conservative (excess segments treated as invalid); caps are
     # sized so the observed MBM maximum (~29k first-pass jobs) never overflows.
     shortcut_jobs_first: int = 32768
-    shortcut_jobs_rest: int = 12288
-    bspline_jobs: int = 16384
+    shortcut_jobs_rest: int = 8192
+    bspline_jobs: int = 6144
 
 
 class SimplifyResult(NamedTuple):

@@ -180,12 +180,15 @@ class RobotModule:
         return np.asarray(R)[0], np.asarray(t)[0]
 
     # --- validation -----------------------------------------------------
-    def validate(self, config, env):
-        """Config validity: joint limits + self/env collision
-        (reference robot_helper.hh:255-267)."""
+    def validate(self, config, env, check_bounds: bool = False):
+        """Config validity: self/env collision, optionally joint limits
+        (reference robot_helper.hh:255-267; check_bounds defaults false
+        there too)."""
         spec = self.spec
         q = np.asarray(config, np.float32)
-        if (q < spec.limits_low).any() or (q > spec.limits_high).any():
+        if check_bounds and (
+            (q < spec.limits_low).any() or (q > spec.limits_high).any()
+        ):
             return False
         return bool(fkcc_mod.fkcc(spec, _as_env(env), jnp.asarray(q)[None])[0])
 

@@ -238,13 +238,19 @@ def build_batch(problems: list[dict]):
     return envs, jnp.asarray(starts), jnp.asarray(goals), jnp.asarray(masks)
 
 
-def validate_configs(spec, envs, configs):
-    """Config validity: joint limits + self/env collision
-    (reference bindings/robot_helper.hh:255-267)."""
+def validate_configs(spec, envs, configs, check_bounds: bool = False):
+    """Config validity: self/env collision, optionally joint limits.
+
+    check_bounds defaults to False to match the reference dataset's validity
+    flags: robot_helper.hh:256 validate(..., check_bounds = false) is what
+    problem_tar_to_pkl_json.py:84 uses, so boundary configurations (e.g.
+    Fetch goals at exactly +/-pi on continuous joints) count as valid."""
+    free = jax.vmap(lambda e, q: fkcc.fkcc(spec, e, q[None])[0])(envs, configs)
+    if not check_bounds:
+        return free
     lo = jnp.asarray(spec.limits_low)
     hi = jnp.asarray(spec.limits_high)
     in_bounds = jnp.all((configs >= lo) & (configs <= hi), axis=-1)
-    free = jax.vmap(lambda e, q: fkcc.fkcc(spec, e, q[None])[0])(envs, configs)
     return in_bounds & free
 
 
@@ -375,17 +381,16 @@ def run_suite(
 
     envs, starts, goals, masks = build_batch(problems)
 
-    # validity of start & at least one goal (reference robot_helper.hh:255-267)
+    # validity of start & at least one goal, collision-only as in the
+    # reference dataset (robot_helper.hh:256 check_bounds = false)
     valid_start = validate_configs(spec, envs, starts)
-    lo, hi = jnp.asarray(spec.limits_low), jnp.asarray(spec.limits_high)
-    goal_bounds = jnp.all((goals >= lo) & (goals <= hi), axis=-1)
     valid_goal = jax.jit(
         jax.vmap(
             lambda e, g, m: jnp.any(
                 jax.vmap(lambda q: fkcc.fkcc(spec, e, q[None])[0])(g) & m
             )
         )
-    )(envs, goals, masks & goal_bounds)
+    )(envs, goals, masks)
     valid = np.asarray(valid_start & valid_goal)[:n_real]
 
     plan_fn = lambda e, s, g, m: rrtc.plan_batch_compact(

@@ -344,7 +344,11 @@ def run_suite(
         settings = rrtc.RRTCSettings(
             range=registry.RRT_RANGES.get(robot, 1.0),
             max_iterations=4096,
-            max_samples=4096,
+            # node-buffer capacity: small on purpose — the masked brute-force
+            # NN and the lockstep state copies scale with it, and the p99 MBM
+            # tree is ~200 nodes; the rare problem that fills the buffer is
+            # simply rerun by the straggler retry below at a large capacity.
+            max_samples=512,
             max_path=96,
             samples_per_step=16,
             connect_segments=8,
@@ -353,11 +357,13 @@ def run_suite(
     if simp_settings is None:
         simp_settings = simplify.SimplifySettings(pair_chunk=64)
     # straggler phase: much larger sample budget at high K (fewer lockstep
-    # steps; per-step fixed cost dominates at small batch sizes)
+    # steps; per-step fixed cost dominates at small batch sizes).  The NN
+    # prefix bucketing in plan_batch_compact keeps the big node buffer cheap
+    # until a tree actually grows into it.
     retry_settings = dataclasses.replace(
         settings,
-        max_iterations=32 * settings.max_iterations,
-        max_samples=8 * settings.max_samples,
+        max_iterations=32 * 4096,
+        max_samples=16384,
         samples_per_step=128,
         connect_segments=16,
         sample_window=4,

@@ -112,11 +112,19 @@ def _make_step(
     env: Environment,
     num_points: int,
     phs=None,
+    nn_prefix: int | None = None,
 ):
     M, K, C = s.max_samples, s.samples_per_step, s.connect_segments
+    # NN queries scan only the first `nn_prefix` node rows.  Sound whenever
+    # n_nodes <= nn_prefix for every step taken (callers guarantee it via the
+    # per-segment growth bound n_nodes + steps*(K+C) <= nn_prefix); results are
+    # then bit-identical to the full scan.  Trees are tiny compared to the
+    # buffer capacity (MBM median graph ~34 nodes vs M = thousands), and the
+    # (KW, M) masked distance matrix is the planner's bandwidth bottleneck.
+    NP = M if nn_prefix is None else min(nn_prefix, M)
     KW = K * s.sample_window
     d = spec.dimension
-    arange_m = jnp.arange(M)
+    arange_np = jnp.arange(NP)
     lows = jnp.asarray(spec.limits_low)
     highs = jnp.asarray(spec.limits_high)
     spans = highs - lows
@@ -152,12 +160,13 @@ def _make_step(
         # KW consecutive Halton samples (rrtc.hh:110; random/halton.hh:75-108)
         samples = draw_samples(st.sample_idx)  # (KW, d)
 
-        node_mask = arange_m < st.n_nodes
-        mask_a = node_mask & (st.in_start == a_is_start)
-        mask_b = node_mask & (st.in_start != a_is_start)
+        cfg_nn = st.configs[:NP]
+        node_mask = arange_np < st.n_nodes
+        mask_a = node_mask & (st.in_start[:NP] == a_is_start)
+        mask_b = node_mask & (st.in_start[:NP] != a_is_start)
 
-        # nearest in tree_a for each sample: (KW, M)
-        d2a = jnp.sum((st.configs[None] - samples[:, None]) ** 2, axis=-1)
+        # nearest in tree_a for each sample: (KW, NP)
+        d2a = jnp.sum((cfg_nn[None] - samples[:, None]) ** 2, axis=-1)
         d2a = jnp.where(mask_a[None], d2a, _INF)
         nearest = jnp.argmin(d2a, axis=-1)                       # (KW,)
         nearest_dist = jnp.sqrt(jnp.take_along_axis(d2a, nearest[:, None], -1)[:, 0])
@@ -275,7 +284,7 @@ def _make_step(
 
         # --- connect bookkeeping: enter connect from the most promising new
         # node (nearest to the other tree), as rrtc.hh:158-171 does per insert
-        d2b = jnp.sum((st.configs[None] - new_cfg[:, None]) ** 2, axis=-1)
+        d2b = jnp.sum((cfg_nn[None] - new_cfg[:, None]) ** 2, axis=-1)
         d2b = jnp.where(mask_b[None], d2b, _INF)
         o_idx = jnp.argmin(d2b, axis=-1)                          # (K,)
         o_d = jnp.sqrt(jnp.take_along_axis(d2b, o_idx[:, None], -1)[:, 0])
@@ -468,9 +477,14 @@ def _cond(s: RRTCSettings):
     return cond
 
 
-def _run_steps(spec, s, env, st, num_points, phs=None, max_steps=None):
-    """Advance the state machine until done/budget (or at most max_steps)."""
-    step = _make_step(spec, s, env, num_points, phs=phs)
+def _run_steps(spec, s, env, st, num_points, phs=None, max_steps=None, nn_prefix=None):
+    """Advance the state machine until done/budget (or at most max_steps).
+
+    max_steps may be a traced scalar (the compact driver passes it dynamically
+    so one compilation serves every segment length).  nn_prefix must be a
+    static int; soundness requires n_nodes + max_steps*(K+C) <= nn_prefix.
+    """
+    step = _make_step(spec, s, env, num_points, phs=phs, nn_prefix=nn_prefix)
     cond = _cond(s)
     if max_steps is None:
         return jax.lax.while_loop(cond, step, st)
@@ -584,7 +598,7 @@ def plan_batch_compact(
     if sample_offsets is None:
         sample_offsets = jnp.zeros(B, jnp.int32)
 
-    key = (id(spec), settings, segment_steps)
+    key = (id(spec), settings)
     if key not in _COMPACT_CACHE:
         num_points = validate_mod.n_points_bound(spec, settings.range)
         init_fn = jax.jit(
@@ -594,13 +608,18 @@ def plan_batch_compact(
                 )
             )
         )
-        seg_fn = jax.jit(
-            jax.vmap(
-                lambda e, st: _run_steps(
-                    spec, settings, e, st, num_points, max_steps=segment_steps
+
+        def make_seg(prefix):
+            return jax.jit(
+                jax.vmap(
+                    lambda e, st, ms: _run_steps(
+                        spec, settings, e, st, num_points,
+                        max_steps=ms, nn_prefix=prefix,
+                    ),
+                    in_axes=(0, 0, None),
                 )
             )
-        )
+
         fin_fn = jax.jit(
             jax.vmap(
                 lambda st, s, g, ad, fd: _finalize(
@@ -609,8 +628,12 @@ def plan_batch_compact(
             )
         )
         active_fn = jax.jit(jax.vmap(_cond(settings)))
-        _COMPACT_CACHE[key] = (init_fn, seg_fn, fin_fn, active_fn)
-    init_fn, seg_fn, fin_fn, active_fn = _COMPACT_CACHE[key]
+        _COMPACT_CACHE[key] = (init_fn, make_seg, {}, fin_fn, active_fn)
+    init_fn, make_seg, seg_fns, fin_fn, active_fn = _COMPACT_CACHE[key]
+
+    M = settings.max_samples
+    per_step = settings.samples_per_step + settings.connect_segments
+    min_prefix = 512
 
     st, ad, fd = init_fn(envs, starts, goals, goal_masks, sample_offsets)
     work = dict(envs=envs, starts=starts, goals=goals, ad=ad, fd=fd)
@@ -625,7 +648,22 @@ def plan_batch_compact(
             out[f][gidx[rows]] = arr[rows]
 
     while True:
-        st = seg_fn(work["envs"], st)
+        # NN-prefix bucket: smallest power of two that covers the current max
+        # tree size plus this segment's worst-case growth.  Results are
+        # bit-identical to the full-M scan (n_nodes never exceeds the prefix
+        # within the segment); the bucket only bounds how many node rows the
+        # masked-brute-force NN reads.
+        n_max = int(np.max(np.asarray(st.n_nodes)[gidx >= 0], initial=1))
+        prefix = min_prefix
+        while prefix < M and prefix < n_max + 2 * per_step:
+            prefix *= 2
+        prefix = min(prefix, M)
+        steps = segment_steps
+        if prefix < M:
+            steps = min(segment_steps, max((prefix - n_max) // per_step, 2))
+        if prefix not in seg_fns:
+            seg_fns[prefix] = make_seg(prefix)
+        st = seg_fns[prefix](work["envs"], st, jnp.int32(steps))
         active = np.asarray(active_fn(st)) & (gidx >= 0)
         n_act = int(active.sum())
         cur = len(gidx)

@@ -78,7 +78,16 @@ def _broadcast_tile(e):
     return e
 
 
-def _make_kernel(spec: RobotSpec, counts: dict[str, int]):
+def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows):
+    """Fused FK + collision over one (8, 128) tile of configurations.
+
+    q_rows: list of d (8, 128) tiles (configuration dimension-major).
+    env_refs: (sph, cap, zcap, cub, zcub) SMEM refs shaped (1, n, f).
+    Returns the (8, 128) minimum signed value over all checks — the
+    configuration is collision-free iff vmin >= 0.  Shared by the fkcc
+    block kernel below and the planner megakernel (planning/rrtc_mega.py).
+    """
+    sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref = env_refs
     radii = [float(r) for r in spec.sphere_radius]
     pairs = [(int(i), int(j)) for i, j in spec.self_collision_pairs]
     pair_thr = {
@@ -87,8 +96,7 @@ def _make_kernel(spec: RobotSpec, counts: dict[str, int]):
     }
     S = spec.n_spheres
 
-    def kernel(sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref, q_ref, out_ref):
-        q_rows = [q_ref[0, j, 0] for j in range(spec.dimension)]  # (8,128) each
+    if True:  # body kept at original indentation for the shared helpers below
         centers = _fk_centers(spec, q_rows)
         cx = [_broadcast_tile(c[0]) for c in centers]
         cy = [_broadcast_tile(c[1]) for c in centers]
@@ -171,6 +179,15 @@ def _make_kernel(spec: RobotSpec, counts: dict[str, int]):
             d2 = (cx[i] - cx[j]) ** 2 + (cy[i] - cy[j]) ** 2 + (cz[i] - cz[j]) ** 2
             vmin = jnp.minimum(vmin, d2 - pair_thr[(i, j)])
 
+        return vmin
+
+
+def _make_kernel(spec: RobotSpec, counts: dict[str, int]):
+    def kernel(sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref, q_ref, out_ref):
+        q_rows = [q_ref[0, j, 0] for j in range(spec.dimension)]  # (8,128) each
+        vmin = tile_vmin(
+            spec, counts, (sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref), q_rows
+        )
         out_ref[0, 0] = (vmin >= 0.0).astype(jnp.int8)
 
     return kernel

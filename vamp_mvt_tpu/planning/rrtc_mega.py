@@ -1,0 +1,695 @@
+"""RRT-Connect planner megakernel: the whole solve loop in one Pallas kernel.
+
+The lockstep XLA state machine (planning/rrtc.py) pays for its slowest batch
+member: every problem executes every step of every segment, with (B, KW, M)
+HBM intermediates between steps and a host round-trip per segment.  Measured
+on v5e, that overhead is ~40x the useful FK+CC kernel time.
+
+This kernel is the TPU-native answer: grid = (problems,), and each grid step
+runs the ENTIRE planner loop for one problem inside the kernel —
+
+  - node/tree state lives in VMEM (configs, per-node metadata) and SMEM
+    (parents) for the whole solve; zero HBM traffic between iterations;
+  - the per-step work (Halton sampling, brute-force NN, edge interpolation,
+    fused FK+collision on one or two (8,128) tiles, inserts, dynamic-domain
+    updates, the greedy connect chain) is all VPU/MXU vector code plus a small
+    amount of SMEM scalar bookkeeping;
+  - a `lax.while_loop` on scalar state stops exactly when THIS problem is
+    done, so finished problems cost nothing (the reference's sequential-planner
+    advantage, recovered on TPU without giving up batched execution).
+
+Step semantics mirror planning/rrtc.py's `_make_step` (itself a re-derivation
+of the reference rrtc.hh:16-247): K grow extensions + C connect increments per
+step, dynamic-domain sample-window prefilter, balanced trees, greedy connect
+with partial progress.  Numerical differences vs the XLA path are limited to
+floating-point reduction order in the NN distances.
+
+Path recovery and the straight-line direct-goal check stay outside the kernel
+(they are one-shot XLA programs; see plan_batch_mega).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vamp_mvt_tpu.collision.environment import Environment
+from vamp_mvt_tpu.ops.kernels.fkcc_pallas import tile_vmin, _pad_rows
+from vamp_mvt_tpu.planning import validate as validate_mod
+from vamp_mvt_tpu.planning.rrtc import RRTCResult, RRTCSettings, _walk
+from vamp_mvt_tpu.robots.spec import RobotSpec
+from vamp_mvt_tpu.sampling.halton import PRIMES, _digit_counts
+
+_BIG = 1e30          # plain floats: jnp scalars would be captured as
+_INF = float("inf")  # pallas kernel constants (not allowed)
+
+
+def _dotx(a, b):
+    """MXU matmul at HIGHEST precision: one-hot selects must be bit-exact
+    (default TPU dot truncates operands to bf16, which corrupts node indices
+    and configuration values)."""
+    return jnp.dot(
+        a, b, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _pad_div128(n: int) -> int:
+    """Smallest divisor of 128 that is >= n (points-per-edge padding)."""
+    for p in (8, 16, 32, 64, 128):
+        if p >= n:
+            return p
+    raise ValueError(f"edge needs {n} > 128 interpolation points")
+
+
+def _row_to_col(row: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(1, n) -> (n, 1) via the diagonal-mask trick (no relayout transpose)."""
+    s_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    l_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    b = jnp.broadcast_to(row[:, :n], (n, n))
+    return jnp.sum(jnp.where(s_i == l_i, b, 0.0), axis=1, keepdims=True)
+
+
+def _col_to_row(col: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(n, 1) -> (1, n)."""
+    s_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    l_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    b = jnp.broadcast_to(col[:n, :], (n, n))
+    return jnp.sum(jnp.where(s_i == l_i, b, 0.0), axis=0, keepdims=True)
+
+
+def _lane_cumsum(v: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along lanes of a (1, 128) f32 row."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    acc = v
+    for sh in (1, 2, 4, 8, 16, 32, 64):
+        acc = acc + jnp.where(lanes >= sh, pltpu.roll(acc, sh, 1), 0.0)
+    return acc
+
+
+def _halton_cols(spec: RobotSpec, idx_col: jnp.ndarray, KW: int) -> list[jnp.ndarray]:
+    """Per-dimension Halton radical inverses as (KW, 1) f32 columns.
+
+    Bit-identical to sampling/halton.py (same int digit recurrence, same
+    final single f32 division).
+    """
+    d = spec.dimension
+    counts = _digit_counts(d)
+    cols = []
+    for j in range(d):
+        b = PRIMES[j]
+        i = idx_col
+        n = jnp.zeros_like(idx_col)
+        for _ in range(counts[j]):
+            n = n * b + i % b
+            i = i // b
+        denom = float(b ** counts[j])
+        cols.append(n.astype(jnp.float32) * (1.0 / denom))
+    return cols
+
+
+def _kernel_config(spec: RobotSpec, s: RRTCSettings, G: int):
+    d = spec.dimension
+    dp = max(8, 8 * ((d + 7) // 8))
+    K, C, W = s.samples_per_step, s.connect_segments, s.sample_window
+    KW = K * W
+    if KW > 128:
+        raise ValueError("samples_per_step * sample_window must be <= 128")
+    E = K + C
+    Erow = 32 if E <= 32 else 64
+    if E > 64:
+        raise ValueError("K + C must be <= 64")
+    N = validate_mod.n_points_bound(spec, s.range)
+    P = _pad_div128(N)
+    R = min(128 // P, Erow // 8)  # edge groups per tile (cap: rows available)
+    EPT = 8 * R           # edges per tile
+    NT = (E + EPT - 1) // EPT
+    M = s.max_samples
+    assert M % 8 == 0
+    return dict(d=d, dp=dp, K=K, C=C, W=W, KW=KW, E=E, Erow=Erow, N=N, P=P,
+                R=R, EPT=EPT, NT=NT, M=M, G=G)
+
+
+def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict):
+    d, dp, K, C, KW, E, Erow = (cfg[k] for k in ("d", "dp", "K", "C", "KW", "E", "Erow"))
+    P, R, EPT, NT, M, G = (cfg[k] for k in ("P", "R", "EPT", "NT", "M", "G"))
+    res8 = float(spec.resolution) / 8.0
+    rng = float(s.range)
+    lows = [float(x) for x in spec.limits_low]
+    spans = [float(h - l) for l, h in zip(spec.limits_low, spec.limits_high)]
+    dyn = bool(s.dynamic_domain)
+    balance = bool(s.balance)
+    def kernel(ctl_ref, nodes0_ref, sph_ref, cap_ref, zcap_ref, cub_ref,
+               zcub_ref, cfg_out, par_out, scal_out, meta_scr, cvec_scr,
+               cnt_scr, escr, rscr):
+        env_refs = (sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        iota_m_col = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+        row_iota_col = jax.lax.broadcasted_iota(jnp.int32, (Erow, 1), 0)
+
+        # ------------------------- initialization -------------------------
+        cfg_out[:, :] = jnp.zeros((M, dp), jnp.float32)
+        meta_scr[:, :] = jnp.zeros((M, 8), jnp.float32)
+        cvec_scr[:, :] = jnp.zeros((8, 128), jnp.float32)
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+        # node 0 = start (start tree), nodes 1..G = goals (goal tree)
+        for i in range(1 + G):
+            cfg_out[i : i + 1, :] = nodes0_ref[0, i : i + 1, :]
+            in_start = 1.0 if i == 0 else 0.0
+            meta_scr[i : i + 1, :] = jnp.where(
+                lane8 == 0, in_start, jnp.where(lane8 == 1, _BIG, 0.0)
+            )
+
+        def init_parents(i, _):
+            par_out[0, 0, i] = jnp.where(i <= G, i, 0)
+            return 0
+
+        jax.lax.fori_loop(0, M, init_parents, 0)
+
+        n_goals = ctl_ref[0, 0, 2]
+        any_direct = ctl_ref[0, 0, 1]
+        sample_offset = ctl_ref[0, 0, 0]
+
+        # ------------------------------ loop ------------------------------
+        # carry: (iters, sample_idx, n_nodes, size_start, size_goal,
+        #         a_is_start, connect, c_tip, c_rem, c_other,
+        #         done, junc_a, junc_b, a_j_start, c_n, c_len)
+        init = (
+            jnp.int32(0),
+            sample_offset + 1,
+            jnp.int32(1 + G),
+            jnp.int32(1),
+            n_goals,
+            jnp.int32(0 if s.start_tree_first else 1),
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.int32(0),
+            any_direct,
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.int32(1),
+            jnp.float32(1.0),
+            jnp.float32(1.0),
+        )
+
+        def cond(c):
+            iters, _, n_nodes, *_rest = c
+            connect, done = c[6], c[10]
+            budget = (iters < s.max_iterations) | (connect > 0)
+            return (done == 0) & budget & (n_nodes < M)
+
+        def body(c):
+            (iters, sample_idx, n_nodes, size_start, size_goal, a_is_start,
+             connect, c_tip, c_rem, c_other, done, junc_a, junc_b, a_j_start,
+             c_n, c_len) = c
+            grow = connect == 0
+
+            # --- tree balancing (rrtc.hh:100-108), grow mode only
+            asize = jnp.where(a_is_start > 0, size_start, size_goal).astype(jnp.float32)
+            bsize = jnp.where(a_is_start > 0, size_goal, size_start).astype(jnp.float32)
+            ratio = jnp.abs(asize - bsize) / asize
+            do_swap = grow & ((not balance) | (ratio < s.tree_ratio))
+            a_is = jnp.where(do_swap, 1 - a_is_start, a_is_start)
+            af = a_is.astype(jnp.float32)
+
+            # --- KW Halton samples, scaled to joint limits: SAMP (KW->128, dp)
+            idx_col = (
+                jax.lax.broadcasted_iota(jnp.int32, (KW, 1), 0) + sample_idx
+            )
+            ucols = _halton_cols(spec, idx_col, KW)
+            scols = [u * spans[j] + lows[j] for j, u in enumerate(ucols)]
+            scols += [jnp.zeros((KW, 1), jnp.float32)] * (dp - d)
+            samp = jnp.concatenate(scols, axis=1)  # (KW, dp)
+
+            # --- NN of samples against tree_a (d2 exact diff-square sums)
+            node_mask_col = (iota_m_col < n_nodes)
+            in_start_col = meta_scr[:, 0:1]
+            mask_a = node_mask_col & (in_start_col == af)
+            mask_b = node_mask_col & (in_start_col != af)
+            d2 = jnp.zeros((M, KW), jnp.float32)
+            for j in range(d):
+                qrow = _col_to_row(samp[:, j : j + 1], KW)  # (1, KW)
+                diff = cfg_out[:, j : j + 1] - qrow          # (M, KW)
+                d2 = d2 + diff * diff
+            d2a = jnp.where(mask_a, d2, _BIG)
+            mn = jnp.min(d2a, axis=0, keepdims=True)          # (1, KW)
+            rows_i = jax.lax.broadcasted_iota(jnp.int32, (M, KW), 0)
+            nearest_row = jnp.min(
+                jnp.where(d2a <= mn, rows_i, 10**9), axis=0, keepdims=True
+            ).astype(jnp.float32)                             # (1, KW)
+            ndist_row = jnp.sqrt(mn)
+            oh_n = (rows_i.astype(jnp.float32) == jnp.broadcast_to(nearest_row, (M, KW)))
+            nrad_row = jnp.max(
+                jnp.where(oh_n, jnp.broadcast_to(meta_scr[:, 1:2], (M, KW)), -_BIG),
+                axis=0, keepdims=True,
+            )                                                  # (1, KW)
+
+            # --- dynamic-domain window prefilter (rrtc.hh:123-126)
+            live_lane = lane128 < KW
+            pad = lambda rowv: jnp.pad(rowv, ((0, 0), (0, 128 - KW))) if KW < 128 else rowv
+            ndist128 = pad(ndist_row)
+            nrad128 = pad(nrad_row)
+            if dyn:
+                dd_skip = nrad128 < ndist128
+            else:
+                dd_skip = jnp.zeros((1, 128), bool)
+            chosen = (~dd_skip) & live_lane
+            rank = _lane_cumsum(chosen.astype(jnp.float32))   # (1,128) inclusive
+            chosen = chosen & (rank <= K)
+            n_acc = jnp.int32(jnp.sum(chosen.astype(jnp.float32)))
+            nth = chosen & (rank == K)
+            first_nth = jnp.int32(jnp.min(jnp.where(nth, lane128, 10**9)))
+            consumed = jnp.where(first_nth < 10**9, first_nth + 1, jnp.int32(KW))
+
+            # --- compact the <=K chosen samples to edge rows 0..K-1
+            rank_b = jnp.broadcast_to(rank, (Erow, 128))
+            chosen_b = jnp.broadcast_to(chosen, (Erow, 128))
+            krow_col = jax.lax.broadcasted_iota(jnp.int32, (Erow, 128), 0)
+            sel = (chosen_b & (rank_b == (krow_col + 1).astype(jnp.float32))).astype(
+                jnp.float32
+            )                                                  # (Erow, 128)
+            samp128 = jnp.pad(samp, ((0, 128 - KW), (0, 0))) if KW < 128 else samp
+            samp_sel = _dotx(sel, samp128)
+            near_idx_col = _dotx(sel, _row_to_col(pad(nearest_row), 128))                                                  # (Erow, 1)
+            ndist_col = _dotx(sel, _row_to_col(ndist128, 128))
+
+            ohn = (
+                jax.lax.broadcasted_iota(jnp.int32, (Erow, M), 1).astype(jnp.float32)
+                == jnp.broadcast_to(near_idx_col, (Erow, M))
+            ).astype(jnp.float32)
+            near_cfg = _dotx(ohn, cfg_out[:, :])
+
+            reach = ndist_col < rng
+            scale = jnp.where(reach, 1.0, rng / jnp.maximum(ndist_col, 1e-12))
+            vec = (samp_sel - near_cfg) * scale               # (Erow, dp)
+            ext_dist = jnp.minimum(ndist_col, rng)
+            new_cfg = near_cfg + vec
+            n_col = jnp.maximum(jnp.ceil(ext_dist * res8), 1.0)
+
+            # --- connect-edge params (rows K..E-1): tip + inc*(seg + frac)
+            tip_row = cfg_out[pl.ds(c_tip, 1), :]              # (1, dp)
+            inc_row = cvec_scr[0:1, 0:dp]
+            cseg = jnp.maximum(row_iota_col - K, 0).astype(jnp.float32)
+            is_grow_row = row_iota_col < K
+            en = jnp.where(is_grow_row, near_cfg, tip_row + inc_row * cseg)
+            ev = jnp.where(is_grow_row, vec, jnp.broadcast_to(inc_row, (Erow, dp)))
+            n_all = jnp.where(is_grow_row, n_col, c_n)         # (Erow, 1)
+
+            # --- fused FK+CC over all E edges' interpolation grids
+            jp1 = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) % P + 1).astype(
+                jnp.float32
+            )
+            ohl = (
+                jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1) // P
+                == jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+            ).astype(jnp.float32)                              # (R, 128) static
+            for t in range(NT):
+                def rowslice(a, j):
+                    parts = [
+                        a[t * EPT + g * 8 : t * EPT + g * 8 + 8, j : j + 1]
+                        for g in range(R)
+                    ]
+                    return jnp.concatenate(parts, axis=1)      # (8, R)
+
+                n_p = rowslice(jnp.broadcast_to(n_all, (Erow, dp)), 0)  # (8, R)
+                n_tile = _dotx(n_p, ohl)
+                frac = jnp.minimum(jp1 / (8.0 * n_tile), 1.0)
+                q_rows = []
+                for j in range(d):
+                    a_t = _dotx(rowslice(en, j), ohl)
+                    b_t = _dotx(rowslice(ev, j), ohl)
+                    q_rows.append(a_t + b_t * frac)
+                vmin = tile_vmin(spec, counts, env_refs, q_rows)
+                okf = (vmin >= 0.0).astype(jnp.float32)
+                cnts = _dotx(okf, jnp.transpose(ohl))  # (8, R)
+                cnt_scr[:, t * R : (t + 1) * R] = cnts
+
+            # --- connect-entry NN: new grow nodes vs tree_b
+            d2b = jnp.zeros((M, Erow), jnp.float32)
+            for j in range(d):
+                qrow = _col_to_row(new_cfg[:, j : j + 1], Erow)
+                diff = cfg_out[:, j : j + 1] - qrow
+                d2b = d2b + diff * diff
+            d2b = jnp.where(mask_b, d2b, _BIG)
+            mnb = jnp.min(d2b, axis=0, keepdims=True)          # (1, Erow)
+            rows_b = jax.lax.broadcasted_iota(jnp.int32, (M, Erow), 0)
+            oidx_row = jnp.min(
+                jnp.where(d2b <= mnb, rows_b, 10**9), axis=0, keepdims=True
+            ).astype(jnp.float32)
+            od_row = jnp.sqrt(mnb)
+
+            # --- stage per-edge scalars for the bookkeeping loop
+            escr[:, 0:1] = near_idx_col
+            escr[:, 1:2] = nrad_col = _dotx(sel, _row_to_col(nrad128, 128))
+            rscr[0:1, 0:Erow] = oidx_row
+            rscr[1:2, 0:Erow] = od_row
+
+            # ====================== scalar bookkeeping ======================
+            def edge_ok(e):
+                te = e // EPT
+                s_e = (e - te * EPT) % 8
+                g_e = (e - te * EPT) // 8
+                return cnt_scr[s_e, te * R + g_e] == float(P)
+
+            growi = grow.astype(jnp.int32)
+
+            # grow inserts + dd updates + connect-entry candidate tracking
+            n_ins = jnp.int32(0)
+            best_od = _BIG
+            best_other = jnp.int32(0)
+            best_pos = jnp.int32(0)
+            best_tip = jnp.zeros((1, dp), jnp.float32)
+            any_ins = jnp.int32(0)
+            for k in range(K):
+                attempted = grow & (k < n_acc)
+                ok_k = edge_ok(k)
+                pos = n_nodes + n_ins
+                ins = attempted & ok_k & (pos < M)
+
+                @pl.when(ins)
+                def _(k=k, pos=pos):
+                    cfg_out[pl.ds(pos, 1), :] = new_cfg[k : k + 1, :]
+                    meta_scr[pl.ds(pos, 1), :] = jnp.where(
+                        lane8 == 0, af, jnp.where(lane8 == 1, _BIG, 0.0)
+                    )
+                    par_out[0, 0, pos] = jnp.int32(escr[k, 0])
+
+                # dynamic-domain radius update on the nearest node
+                if dyn:
+                    nidx = jnp.int32(escr[k, 0])
+                    rad = escr[k, 1]
+                    inf_r = rad > _BIG * 0.5
+                    ok_upd = jnp.where(inf_r, rad, rad * (1.0 + s.alpha))
+                    fail_upd = jnp.where(
+                        inf_r,
+                        jnp.float32(s.radius),
+                        jnp.maximum(rad * (1.0 - s.alpha), s.min_radius),
+                    )
+                    new_r = jnp.where(ok_k, ok_upd, fail_upd)
+
+                    @pl.when(attempted)
+                    def _(nidx=nidx, new_r=new_r):
+                        mrow = meta_scr[pl.ds(nidx, 1), :]
+                        meta_scr[pl.ds(nidx, 1), :] = jnp.where(
+                            lane8 == 1, new_r, mrow
+                        )
+
+                # track most promising inserted node for connect entry
+                od_k = rscr[1, k]
+                better = ins & (od_k < best_od)
+                best_od = jnp.where(better, od_k, best_od)
+                best_other = jnp.where(better, jnp.int32(rscr[0, k]), best_other)
+                best_pos = jnp.where(better, pos, best_pos)
+                best_tip = jnp.where(better, new_cfg[k : k + 1, :], best_tip)
+                any_ins = jnp.where(ins, 1, any_ins)
+                n_ins = n_ins + ins.astype(jnp.int32)
+
+            # connect-prefix inserts (segments are edges K..K+C-1)
+            attempted_c = jnp.minimum(C, c_rem)
+            c_ins = jnp.int32(0)
+            c_prefix_open = jnp.int32(1)
+            prefix = jnp.int32(0)
+            for ci in range(C):
+                seg_active = connect & (ci < attempted_c)
+                ok_c = edge_ok(K + ci)
+                advancing = seg_active & (c_prefix_open > 0) & ok_c
+                prefix = prefix + advancing.astype(jnp.int32)
+                c_prefix_open = jnp.where(
+                    seg_active & ((c_prefix_open == 0) | (~ok_c)), 0, c_prefix_open
+                )
+                pos = n_nodes + c_ins
+                insc = advancing & (pos < M)
+
+                @pl.when(insc)
+                def _(ci=ci, pos=pos):
+                    seg_cfg = (
+                        tip_row + inc_row * jnp.float32(ci + 1)
+                    )
+                    cfg_out[pl.ds(pos, 1), :] = seg_cfg
+                    meta_scr[pl.ds(pos, 1), :] = jnp.where(
+                        lane8 == 0, af, jnp.where(lane8 == 1, _BIG, 0.0)
+                    )
+                    par_out[0, 0, pos] = jnp.where(
+                        ci == 0, c_tip, pos - 1
+                    )
+
+                c_ins = c_ins + insc.astype(jnp.int32)
+
+            n_ins_total = jnp.where(grow, n_ins, c_ins)
+            n_nodes_new = n_nodes + n_ins_total
+            size_start_new = size_start + jnp.where(a_is > 0, n_ins_total, 0)
+            size_goal_new = size_goal + jnp.where(a_is > 0, 0, n_ins_total)
+
+            # --- connect state machine (mirrors rrtc.py step tail)
+            enter = grow & (any_ins > 0)
+            safe_od = jnp.minimum(best_od, jnp.float32(1e12))
+            n_ext = jnp.int32(jnp.ceil(safe_od / rng))
+            n_ext_f = jnp.maximum(n_ext.astype(jnp.float32), 1.0)
+            other_row = cfg_out[pl.ds(best_other, 1), :]
+            inc_new = (other_row - best_tip) / n_ext_f
+            inc_len_new = safe_od / n_ext_f
+
+            fail_chain = connect & (prefix < attempted_c)
+            chain_ok = connect & (fail_chain == 0) & (c_ins == prefix)
+            tip_after = jnp.where(
+                enter,
+                best_pos,
+                jnp.where(chain_ok & (prefix > 0), n_nodes + prefix - 1, c_tip),
+            )
+            remaining_after = jnp.where(
+                enter, n_ext, jnp.where(connect, c_rem - prefix, 0)
+            )
+
+            joined = (
+                ((enter & (n_ext == 0)) | (chain_ok & (remaining_after == 0)))
+                & (done == 0)
+            )
+            connect_next = (
+                ((enter & (n_ext > 0)) | (chain_ok & (remaining_after > 0)))
+                & (~joined)
+                & (n_nodes_new < M)
+            )
+
+            @pl.when(enter)
+            def _():
+                cvec_scr[0:1, 0:dp] = inc_new
+
+            done_new = jnp.where(joined, 1, done)
+            junc_a_new = jnp.where(joined, tip_after, junc_a)
+            junc_b_new = jnp.where(
+                joined, jnp.where(enter, best_other, c_other), junc_b
+            )
+            a_j_new = jnp.where(joined, a_is, a_j_start)
+            c_len_new = jnp.where(enter, inc_len_new, c_len)
+            c_n_new = jnp.where(
+                enter, jnp.maximum(jnp.ceil(inc_len_new * res8), 1.0), c_n
+            )
+
+            return (
+                iters + jnp.where(grow, consumed, 0),
+                sample_idx + jnp.where(grow, consumed, 0),
+                n_nodes_new,
+                size_start_new,
+                size_goal_new,
+                a_is,
+                connect_next.astype(jnp.int32),
+                tip_after,
+                remaining_after,
+                jnp.where(enter, best_other, c_other),
+                done_new,
+                junc_a_new,
+                junc_b_new,
+                a_j_new,
+                c_n_new,
+                c_len_new,
+            )
+
+        final = jax.lax.while_loop(cond, body, init)
+        (iters, sample_idx, n_nodes, size_start, size_goal, _a, _c, _t, _r,
+         _o, done, junc_a, junc_b, a_j_start, _cn, _cl) = final
+
+        scal_out[0, 0, 0] = done
+        scal_out[0, 0, 1] = junc_a
+        scal_out[0, 0, 2] = junc_b
+        scal_out[0, 0, 3] = a_j_start
+        scal_out[0, 0, 4] = iters
+        scal_out[0, 0, 5] = sample_idx - 1
+        scal_out[0, 0, 6] = n_nodes
+        scal_out[0, 0, 7] = size_start
+        scal_out[0, 0, 8] = size_goal
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 9))
+def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub, interpret):
+    B, n0, dp = nodes0.shape
+    G = n0 - 1
+    cfg = _kernel_config(spec, settings, G)
+    counts = {
+        "spheres": sph.shape[-2],
+        "capsules": cap.shape[-2],
+        "z_capsules": zcap.shape[-2],
+        "cuboids": cub.shape[-2],
+        "z_cuboids": zcub.shape[-2],
+    }
+    kernel = _make_mega_kernel(spec, settings, counts, cfg)
+    M = cfg["M"]
+    sph, cap, zcap, cub, zcub = (
+        _pad_rows(a) for a in (sph, cap, zcap, cub, zcub)
+    )
+
+    def smem_spec(n, f):
+        return pl.BlockSpec((1, n, f), lambda b: (b, 0, 0), memory_space=pltpu.SMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, M, dp), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, 16), jnp.int32),
+    )
+    out_specs = (
+        pl.BlockSpec((None, M, dp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, M), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 16), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            smem_spec(1, 8),
+            pl.BlockSpec((1, n0, dp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            smem_spec(max(counts["spheres"], 1), 4),
+            smem_spec(max(counts["capsules"], 1), 8),
+            smem_spec(max(counts["z_capsules"], 1), 8),
+            smem_spec(max(counts["cuboids"], 1), 15),
+            smem_spec(max(counts["z_cuboids"], 1), 15),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((M, 8), jnp.float32),      # meta: in_start, radius
+            pltpu.VMEM((8, 128), jnp.float32),    # cvec: connect increment
+            pltpu.VMEM((8, 128), jnp.float32),    # cnt: per-edge valid counts
+            pltpu.VMEM((cfg["Erow"], 128), jnp.float32),  # escr: per-edge scalars
+            pltpu.VMEM((8, 128), jnp.float32),    # rscr: per-edge rows (oidx, od)
+        ],
+        interpret=interpret,
+    )(ctl, nodes0, sph, cap, zcap, cub, zcub)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _finalize_mega(spec, settings, configs, parents, scal, starts, goals,
+                   any_direct, first_direct):
+    """Path recovery + direct overrides, vmapped over problems (XLA)."""
+    P = settings.max_path
+    d = spec.dimension
+
+    def one(cfg_b, par_b, sc_b, start, goal_set, adirect, fdirect):
+        solved = sc_b[0] > 0
+        junc_a, junc_b, a_j = sc_b[1], sc_b[2], sc_b[3]
+        chain_a, la = _walk(par_b, junc_a, P)
+        chain_b, lb = _walk(par_b, junc_b, P)
+        total = la + lb
+        k = jnp.arange(P)
+        path = jnp.zeros((P, d), jnp.float32)
+        pos_a = jnp.where(k < la, la - 1 - k, P + 1)
+        path = path.at[pos_a].set(cfg_b[chain_a, :d], mode="drop")
+        pos_b = jnp.where(k < lb, la + k, P + 1)
+        path = path.at[pos_b].set(cfg_b[chain_b, :d], mode="drop")
+
+        def rev(p):
+            flipped = jnp.flip(p, axis=0)
+            return jnp.roll(flipped, total - P, axis=0)
+
+        path = jnp.where(a_j > 0, path, rev(path))
+        last = path[jnp.maximum(total - 1, 0)]
+        path = jnp.where((k < total)[:, None], path, last[None, :])
+
+        dgoal = goal_set[fdirect]
+        dpath = jnp.where((k == 0)[:, None], start[None, :], dgoal[None, :])
+        path = jnp.where(adirect, dpath, path)
+        total = jnp.where(adirect, 2, total)
+        seg = path[1:] - path[:-1]
+        lens = jnp.sqrt(jnp.sum(seg * seg, axis=-1))
+        cost = jnp.sum(jnp.where(k[1:] < total, lens, 0.0))
+        solved = solved | adirect
+        return RRTCResult(
+            solved=solved,
+            path=path,
+            path_length=jnp.where(solved, total, 0),
+            cost=jnp.where(solved, cost, _INF),
+            iterations=sc_b[4],
+            size_start=sc_b[7],
+            size_goal=sc_b[8],
+            sample_count=sc_b[5],
+        )
+
+    return jax.vmap(one)(
+        configs, parents[:, 0], scal[:, 0], starts, goals, any_direct, first_direct
+    )
+
+
+def plan_batch_mega(
+    spec: RobotSpec,
+    envs: Environment,
+    starts: jnp.ndarray,            # (B, d)
+    goals: jnp.ndarray,             # (B, G, d)
+    goal_masks: jnp.ndarray,        # (B, G)
+    settings: RRTCSettings,
+    sample_offsets: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+) -> RRTCResult:
+    """Solve a batch with the planner megakernel (one grid step per problem).
+
+    Equivalent in planner semantics to rrtc.plan_batch; orders of magnitude
+    faster on TPU because finished problems stop instantly and all state is
+    chip-resident.  On CPU backends runs in Pallas interpreter mode (slow;
+    tests only).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, d = starts.shape
+    G = goals.shape[1]
+    dp = max(8, 8 * ((d + 7) // 8))
+    if sample_offsets is None:
+        sample_offsets = jnp.zeros(B, jnp.int32)
+
+    # --- straight-line direct-goal check (rrtc.hh:60-73), plain XLA
+    span = float(np.linalg.norm(spec.limits_high - spec.limits_low))
+    direct_points = validate_mod.n_points_bound(spec, span)
+    direct = jax.vmap(
+        lambda e, st, g, m: validate_mod.validate_motion_batch(
+            spec, e, jnp.broadcast_to(st, (G, d)), g, direct_points
+        )
+        & m
+    )(envs, starts, goals, goal_masks)
+    any_direct = jnp.any(direct, axis=1)
+    first_direct = jnp.argmax(direct, axis=1)
+
+    # --- kernel inputs
+    far = jnp.where(goal_masks[..., None], 0.0, 1e8)
+    nodes0 = jnp.concatenate([starts[:, None], goals + far], axis=1)  # (B,1+G,d)
+    nodes0 = jnp.concatenate(
+        [nodes0, jnp.zeros((B, 1 + G, dp - d), jnp.float32)], axis=2
+    )
+    ctl = jnp.zeros((B, 1, 8), jnp.int32)
+    ctl = ctl.at[:, 0, 0].set(jnp.asarray(sample_offsets, jnp.int32))
+    ctl = ctl.at[:, 0, 1].set(any_direct.astype(jnp.int32))
+    ctl = ctl.at[:, 0, 2].set(jnp.sum(goal_masks.astype(jnp.int32), axis=1))
+
+    configs, parents, scal = _run_mega(
+        spec, settings, ctl, nodes0,
+        envs.spheres, envs.capsules, envs.z_capsules, envs.cuboids,
+        envs.z_cuboids, interpret,
+    )
+    return _finalize_mega(
+        spec, settings, configs, parents, scal, starts, goals,
+        any_direct, first_direct,
+    )

@@ -50,6 +50,7 @@ _BIG = 1e30          # plain floats: jnp scalars would be captured as
 _INF = float("inf")  # pallas kernel constants (not allowed)
 
 
+
 def _dotx(a, b):
     """MXU matmul at HIGHEST precision: one-hot selects must be bit-exact
     (default TPU dot truncates operands to bf16, which corrupts node indices
@@ -131,40 +132,38 @@ def _kernel_config(spec: RobotSpec, s: RRTCSettings, G: int):
     EPT = 8 * R           # edges per tile
     NT = (E + EPT - 1) // EPT
     M = s.max_samples
-    assert M % 8 == 0
+    CH = min(M, 256)      # NN chunk rows: scan ceil(n_nodes/CH) chunks per step
+    assert M % CH == 0 and M % 8 == 0
     return dict(d=d, dp=dp, K=K, C=C, W=W, KW=KW, E=E, Erow=Erow, N=N, P=P,
-                R=R, EPT=EPT, NT=NT, M=M, G=G)
+                R=R, EPT=EPT, NT=NT, M=M, G=G, CH=CH)
 
 
 def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict):
     d, dp, K, C, KW, E, Erow = (cfg[k] for k in ("d", "dp", "K", "C", "KW", "E", "Erow"))
-    P, R, EPT, NT, M, G = (cfg[k] for k in ("P", "R", "EPT", "NT", "M", "G"))
+    P, R, EPT, NT, M, G, CH = (cfg[k] for k in ("P", "R", "EPT", "NT", "M", "G", "CH"))
     res8 = float(spec.resolution) / 8.0
     rng = float(s.range)
     lows = [float(x) for x in spec.limits_low]
     spans = [float(h - l) for l, h in zip(spec.limits_low, spec.limits_high)]
     dyn = bool(s.dynamic_domain)
     balance = bool(s.balance)
+    lin, lrad = dp, dp + 1  # meta lanes: in_start flag, dynamic-domain radius
     def kernel(ctl_ref, nodes0_ref, sph_ref, cap_ref, zcap_ref, cub_ref,
-               zcub_ref, cfg_out, par_out, scal_out, meta_scr, cvec_scr,
-               cnt_scr, escr, rscr):
+               zcub_ref, cfg_hbm, par_out, scal_out, buf_out, cvec_scr,
+               cnt_scr, escr, rscr, ncfg_scr, dma_sem):
+        # buf_out row layout: lanes 0..d-1 = configuration, lane lin =
+        # in_start flag, lane lrad = dynamic-domain radius, rest zero.
         env_refs = (sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref)
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        iota_m_col = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+        iota_ch_col = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)
         row_iota_col = jax.lax.broadcasted_iota(jnp.int32, (Erow, 1), 0)
 
         # ------------------------- initialization -------------------------
-        cfg_out[:, :] = jnp.zeros((M, dp), jnp.float32)
-        meta_scr[:, :] = jnp.zeros((M, 8), jnp.float32)
         cvec_scr[:, :] = jnp.zeros((8, 128), jnp.float32)
-        lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
-        # node 0 = start (start tree), nodes 1..G = goals (goal tree)
+        # node 0 = start (start tree), nodes 1..G = goals (goal tree);
+        # nodes0 rows arrive with LIN/LRAD lanes preset host-side
         for i in range(1 + G):
-            cfg_out[i : i + 1, :] = nodes0_ref[0, i : i + 1, :]
-            in_start = 1.0 if i == 0 else 0.0
-            meta_scr[i : i + 1, :] = jnp.where(
-                lane8 == 0, in_start, jnp.where(lane8 == 1, _BIG, 0.0)
-            )
+            buf_out[i : i + 1, :] = nodes0_ref[0, i : i + 1, :]
 
         def init_parents(i, _):
             par_out[0, 0, i] = jnp.where(i <= G, i, 0)
@@ -228,28 +227,54 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             scols += [jnp.zeros((KW, 1), jnp.float32)] * (dp - d)
             samp = jnp.concatenate(scols, axis=1)  # (KW, dp)
 
-            # --- NN of samples against tree_a (d2 exact diff-square sums)
-            node_mask_col = (iota_m_col < n_nodes)
-            in_start_col = meta_scr[:, 0:1]
-            mask_a = node_mask_col & (in_start_col == af)
-            mask_b = node_mask_col & (in_start_col != af)
-            d2 = jnp.zeros((M, KW), jnp.float32)
-            for j in range(d):
-                qrow = _col_to_row(samp[:, j : j + 1], KW)  # (1, KW)
-                diff = cfg_out[:, j : j + 1] - qrow          # (M, KW)
-                d2 = d2 + diff * diff
-            d2a = jnp.where(mask_a, d2, _BIG)
-            mn = jnp.min(d2a, axis=0, keepdims=True)          # (1, KW)
-            rows_i = jax.lax.broadcasted_iota(jnp.int32, (M, KW), 0)
-            nearest_row = jnp.min(
-                jnp.where(d2a <= mn, rows_i, 10**9), axis=0, keepdims=True
-            ).astype(jnp.float32)                             # (1, KW)
-            ndist_row = jnp.sqrt(mn)
-            oh_n = (rows_i.astype(jnp.float32) == jnp.broadcast_to(nearest_row, (M, KW)))
-            nrad_row = jnp.max(
-                jnp.where(oh_n, jnp.broadcast_to(meta_scr[:, 1:2], (M, KW)), -_BIG),
-                axis=0, keepdims=True,
-            )                                                  # (1, KW)
+            # --- NN of samples against tree_a, chunked over the live tree
+            # prefix (ceil(n_nodes/CH) chunks instead of the full M-row
+            # buffer; tie-break = smallest node index, exactly the full-scan
+            # semantics because chunks combine with strict <).  Skipped
+            # entirely (0 chunks) in connect mode — samples are unused there.
+            qrows_a = [_col_to_row(samp[:, j : j + 1], KW) for j in range(d)]
+
+            def nn_a_chunk(cidx, carry):
+                bd, bi, br = carry                        # (1, KW) f32 each
+                base = cidx * CH
+                rows = buf_out[pl.ds(base, CH), :]        # (CH, 128)
+                ins_c = rows[:, lin : lin + 1]            # (CH, 1)
+                rad_c = rows[:, lrad : lrad + 1]          # (CH, 1)
+                gidx = iota_ch_col + base                 # (CH, 1)
+                mask = (gidx < n_nodes) & (ins_c == af)
+                d2 = jnp.zeros((CH, KW), jnp.float32)
+                for j in range(d):
+                    diff = rows[:, j : j + 1] - qrows_a[j]
+                    d2 = d2 + diff * diff
+                d2m = jnp.where(mask, d2, _BIG)
+                mn_c = jnp.min(d2m, axis=0, keepdims=True)
+                gidx_b = jnp.broadcast_to(gidx, (CH, KW))
+                near_c = jnp.min(
+                    jnp.where(d2m <= mn_c, gidx_b, 10**9), axis=0, keepdims=True
+                )
+                is_n = gidx_b == jnp.broadcast_to(near_c, (CH, KW))
+                nrad_c = jnp.max(
+                    jnp.where(is_n, jnp.broadcast_to(rad_c, (CH, KW)), -_BIG),
+                    axis=0, keepdims=True,
+                )
+                better = mn_c < bd
+                return (
+                    jnp.where(better, mn_c, bd),
+                    jnp.where(better, near_c.astype(jnp.float32), bi),
+                    jnp.where(better, nrad_c, br),
+                )
+
+            nch = jnp.where(grow, (n_nodes + CH - 1) // CH, 0)
+            bd_a, nearest_row, nrad_row = jax.lax.fori_loop(
+                0, nch,
+                nn_a_chunk,
+                (
+                    jnp.full((1, KW), _BIG, jnp.float32),
+                    jnp.zeros((1, KW), jnp.float32),
+                    jnp.zeros((1, KW), jnp.float32),
+                ),
+            )
+            ndist_row = jnp.sqrt(bd_a)
 
             # --- dynamic-domain window prefilter (rrtc.hh:123-126)
             live_lane = lane128 < KW
@@ -280,11 +305,15 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             near_idx_col = _dotx(sel, _row_to_col(pad(nearest_row), 128))                                                  # (Erow, 1)
             ndist_col = _dotx(sel, _row_to_col(ndist128, 128))
 
-            ohn = (
-                jax.lax.broadcasted_iota(jnp.int32, (Erow, M), 1).astype(jnp.float32)
-                == jnp.broadcast_to(near_idx_col, (Erow, M))
-            ).astype(jnp.float32)
-            near_cfg = _dotx(ohn, cfg_out[:, :])
+            # gather the K nearest-node configs row by row (dynamic-sublane
+            # reads; rows K..Erow-1 stay stale but every consumer masks them
+            # with is_grow_row)
+            escr[:, 0:1] = near_idx_col
+            for k in range(K):
+                idx_k = jnp.int32(escr[k, 0])
+                nrow = buf_out[pl.ds(idx_k, 1), :]
+                ncfg_scr[k : k + 1, 0:dp] = nrow[:, 0:dp]
+            near_cfg = ncfg_scr[0:Erow, 0:dp]
 
             reach = ndist_col < rng
             scale = jnp.where(reach, 1.0, rng / jnp.maximum(ndist_col, 1e-12))
@@ -294,8 +323,12 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             n_col = jnp.maximum(jnp.ceil(ext_dist * res8), 1.0)
 
             # --- connect-edge params (rows K..E-1): tip + inc*(seg + frac)
-            tip_row = cfg_out[pl.ds(c_tip, 1), :]              # (1, dp)
-            inc_row = cvec_scr[0:1, 0:dp]
+            tip128 = jnp.where(
+                lane128 < lin, buf_out[pl.ds(c_tip, 1), :], 0.0
+            )                                                  # (1, 128)
+            tip_row = tip128[:, 0:dp]                          # (1, dp)
+            inc128 = cvec_scr[0:1, :]
+            inc_row = inc128[:, 0:dp]
             cseg = jnp.maximum(row_iota_col - K, 0).astype(jnp.float32)
             is_grow_row = row_iota_col < K
             en = jnp.where(is_grow_row, near_cfg, tip_row + inc_row * cseg)
@@ -331,22 +364,44 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                 cnts = _dotx(okf, jnp.transpose(ohl))  # (8, R)
                 cnt_scr[:, t * R : (t + 1) * R] = cnts
 
-            # --- connect-entry NN: new grow nodes vs tree_b
-            d2b = jnp.zeros((M, Erow), jnp.float32)
-            for j in range(d):
-                qrow = _col_to_row(new_cfg[:, j : j + 1], Erow)
-                diff = cfg_out[:, j : j + 1] - qrow
-                d2b = d2b + diff * diff
-            d2b = jnp.where(mask_b, d2b, _BIG)
-            mnb = jnp.min(d2b, axis=0, keepdims=True)          # (1, Erow)
-            rows_b = jax.lax.broadcasted_iota(jnp.int32, (M, Erow), 0)
-            oidx_row = jnp.min(
-                jnp.where(d2b <= mnb, rows_b, 10**9), axis=0, keepdims=True
-            ).astype(jnp.float32)
-            od_row = jnp.sqrt(mnb)
+            # --- connect-entry NN: new grow nodes vs tree_b (chunked, as
+            # above; only needed in grow mode)
+            qrows_b = [_col_to_row(new_cfg[:, j : j + 1], Erow) for j in range(d)]
+
+            def nn_b_chunk(cidx, carry):
+                bd, bi = carry                            # (1, Erow) f32
+                base = cidx * CH
+                rows = buf_out[pl.ds(base, CH), :]
+                ins_c = rows[:, lin : lin + 1]
+                gidx = iota_ch_col + base
+                mask = (gidx < n_nodes) & (ins_c != af)
+                d2 = jnp.zeros((CH, Erow), jnp.float32)
+                for j in range(d):
+                    diff = rows[:, j : j + 1] - qrows_b[j]
+                    d2 = d2 + diff * diff
+                d2m = jnp.where(mask, d2, _BIG)
+                mn_c = jnp.min(d2m, axis=0, keepdims=True)
+                gidx_b = jnp.broadcast_to(gidx, (CH, Erow))
+                near_c = jnp.min(
+                    jnp.where(d2m <= mn_c, gidx_b, 10**9), axis=0, keepdims=True
+                )
+                better = mn_c < bd
+                return (
+                    jnp.where(better, mn_c, bd),
+                    jnp.where(better, near_c.astype(jnp.float32), bi),
+                )
+
+            bd_b, oidx_row = jax.lax.fori_loop(
+                0, nch,
+                nn_b_chunk,
+                (
+                    jnp.full((1, Erow), _BIG, jnp.float32),
+                    jnp.zeros((1, Erow), jnp.float32),
+                ),
+            )
+            od_row = jnp.sqrt(bd_b)
 
             # --- stage per-edge scalars for the bookkeeping loop
-            escr[:, 0:1] = near_idx_col
             escr[:, 1:2] = nrad_col = _dotx(sel, _row_to_col(nrad128, 128))
             rscr[0:1, 0:Erow] = oidx_row
             rscr[1:2, 0:Erow] = od_row
@@ -365,8 +420,9 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             best_od = _BIG
             best_other = jnp.int32(0)
             best_pos = jnp.int32(0)
-            best_tip = jnp.zeros((1, dp), jnp.float32)
+            best_tip = jnp.zeros((1, 128), jnp.float32)
             any_ins = jnp.int32(0)
+            new128 = jnp.pad(new_cfg, ((0, 0), (0, 128 - dp)))
             for k in range(K):
                 attempted = grow & (k < n_acc)
                 ok_k = edge_ok(k)
@@ -375,9 +431,9 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
 
                 @pl.when(ins)
                 def _(k=k, pos=pos):
-                    cfg_out[pl.ds(pos, 1), :] = new_cfg[k : k + 1, :]
-                    meta_scr[pl.ds(pos, 1), :] = jnp.where(
-                        lane8 == 0, af, jnp.where(lane8 == 1, _BIG, 0.0)
+                    buf_out[pl.ds(pos, 1), :] = jnp.where(
+                        lane128 == lin, af,
+                        jnp.where(lane128 == lrad, _BIG, new128[k : k + 1, :]),
                     )
                     par_out[0, 0, pos] = jnp.int32(escr[k, 0])
 
@@ -396,9 +452,9 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
 
                     @pl.when(attempted)
                     def _(nidx=nidx, new_r=new_r):
-                        mrow = meta_scr[pl.ds(nidx, 1), :]
-                        meta_scr[pl.ds(nidx, 1), :] = jnp.where(
-                            lane8 == 1, new_r, mrow
+                        mrow = buf_out[pl.ds(nidx, 1), :]
+                        buf_out[pl.ds(nidx, 1), :] = jnp.where(
+                            lane128 == lrad, new_r, mrow
                         )
 
                 # track most promising inserted node for connect entry
@@ -407,7 +463,7 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                 best_od = jnp.where(better, od_k, best_od)
                 best_other = jnp.where(better, jnp.int32(rscr[0, k]), best_other)
                 best_pos = jnp.where(better, pos, best_pos)
-                best_tip = jnp.where(better, new_cfg[k : k + 1, :], best_tip)
+                best_tip = jnp.where(better, new128[k : k + 1, :], best_tip)
                 any_ins = jnp.where(ins, 1, any_ins)
                 n_ins = n_ins + ins.astype(jnp.int32)
 
@@ -429,12 +485,10 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
 
                 @pl.when(insc)
                 def _(ci=ci, pos=pos):
-                    seg_cfg = (
-                        tip_row + inc_row * jnp.float32(ci + 1)
-                    )
-                    cfg_out[pl.ds(pos, 1), :] = seg_cfg
-                    meta_scr[pl.ds(pos, 1), :] = jnp.where(
-                        lane8 == 0, af, jnp.where(lane8 == 1, _BIG, 0.0)
+                    seg128 = tip128 + inc128 * jnp.float32(ci + 1)
+                    buf_out[pl.ds(pos, 1), :] = jnp.where(
+                        lane128 == lin, af,
+                        jnp.where(lane128 == lrad, _BIG, seg128),
                     )
                     par_out[0, 0, pos] = jnp.where(
                         ci == 0, c_tip, pos - 1
@@ -452,8 +506,10 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             safe_od = jnp.minimum(best_od, jnp.float32(1e12))
             n_ext = jnp.int32(jnp.ceil(safe_od / rng))
             n_ext_f = jnp.maximum(n_ext.astype(jnp.float32), 1.0)
-            other_row = cfg_out[pl.ds(best_other, 1), :]
-            inc_new = (other_row - best_tip) / n_ext_f
+            other_cfg = jnp.where(
+                lane128 < lin, buf_out[pl.ds(best_other, 1), :], 0.0
+            )
+            inc_new = (other_cfg - best_tip) / n_ext_f
             inc_len_new = safe_od / n_ext_f
 
             fail_chain = connect & (prefix < attempted_c)
@@ -479,7 +535,7 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
 
             @pl.when(enter)
             def _():
-                cvec_scr[0:1, 0:dp] = inc_new
+                cvec_scr[0:1, :] = inc_new
 
             done_new = jnp.where(joined, 1, done)
             junc_a_new = jnp.where(joined, tip_after, junc_a)
@@ -525,12 +581,28 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
         scal_out[0, 0, 7] = size_start
         scal_out[0, 0, 8] = size_goal
 
+        # copy the live node rows to the HBM output (chunked DMA; rows past
+        # n_nodes stay uninitialized and are never read by the finalizer)
+        b = pl.program_id(0)
+
+        def dma_chunk(cidx, _):
+            cp = pltpu.make_async_copy(
+                buf_out.at[pl.ds(cidx * CH, CH), :],
+                cfg_hbm.at[b, pl.ds(cidx * CH, CH), :],
+                dma_sem,
+            )
+            cp.start()
+            cp.wait()
+            return 0
+
+        jax.lax.fori_loop(0, (n_nodes + CH - 1) // CH, dma_chunk, 0)
+
     return kernel
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 9))
 def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub, interpret):
-    B, n0, dp = nodes0.shape
+    B, n0, _ = nodes0.shape
     G = n0 - 1
     cfg = _kernel_config(spec, settings, G)
     counts = {
@@ -550,12 +622,12 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub, interpret)
         return pl.BlockSpec((1, n, f), lambda b: (b, 0, 0), memory_space=pltpu.SMEM)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((B, M, dp), jnp.float32),
+        jax.ShapeDtypeStruct((B, M, 128), jnp.float32),
         jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
         jax.ShapeDtypeStruct((B, 1, 16), jnp.int32),
     )
     out_specs = (
-        pl.BlockSpec((None, M, dp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec((1, 1, M), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, 16), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
     )
@@ -564,7 +636,7 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub, interpret)
         grid=(B,),
         in_specs=[
             smem_spec(1, 8),
-            pl.BlockSpec((1, n0, dp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n0, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             smem_spec(max(counts["spheres"], 1), 4),
             smem_spec(max(counts["capsules"], 1), 8),
             smem_spec(max(counts["z_capsules"], 1), 8),
@@ -574,11 +646,13 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub, interpret)
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((M, 8), jnp.float32),      # meta: in_start, radius
+            pltpu.VMEM((M, 128), jnp.float32),    # node buffer (configs+meta)
             pltpu.VMEM((8, 128), jnp.float32),    # cvec: connect increment
             pltpu.VMEM((8, 128), jnp.float32),    # cnt: per-edge valid counts
             pltpu.VMEM((cfg["Erow"], 128), jnp.float32),  # escr: per-edge scalars
             pltpu.VMEM((8, 128), jnp.float32),    # rscr: per-edge rows (oidx, od)
+            pltpu.VMEM((cfg["Erow"], 128), jnp.float32),  # ncfg: nearest configs
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(ctl, nodes0, sph, cap, zcap, cub, zcub)
@@ -673,11 +747,17 @@ def plan_batch_mega(
     any_direct = jnp.any(direct, axis=1)
     first_direct = jnp.argmax(direct, axis=1)
 
-    # --- kernel inputs
+    # --- kernel inputs: (B, 1+G, 128) node rows with LIN/LRAD lanes preset
     far = jnp.where(goal_masks[..., None], 0.0, 1e8)
     nodes0 = jnp.concatenate([starts[:, None], goals + far], axis=1)  # (B,1+G,d)
     nodes0 = jnp.concatenate(
-        [nodes0, jnp.zeros((B, 1 + G, dp - d), jnp.float32)], axis=2
+        [nodes0, jnp.zeros((B, 1 + G, 128 - d), jnp.float32)], axis=2
+    )
+    lanei = jnp.arange(128)
+    in_start = (jnp.arange(1 + G) == 0).astype(jnp.float32)  # (1+G,)
+    nodes0 = jnp.where(
+        lanei[None, None] == dp, in_start[None, :, None],
+        jnp.where(lanei[None, None] == dp + 1, _BIG, nodes0),
     )
     ctl = jnp.zeros((B, 1, 8), jnp.int32)
     ctl = ctl.at[:, 0, 0].set(jnp.asarray(sample_offsets, jnp.int32))

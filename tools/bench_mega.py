@@ -103,8 +103,14 @@ def main():
         rr = rrtc_mega.plan_batch_mega(spec, e2, s2, g2, m2, retry_settings)
         jax.block_until_ready(rr)
         t1 = time.perf_counter()
+        rr = rrtc_mega.plan_batch_mega(spec, e2, s2, g2, m2, retry_settings)
+        jax.block_until_ready(rr)
+        t2 = time.perf_counter()
         rsolved = np.asarray(rr.solved)[: len(idx)]
-        print(f"retry: {t1-t0:.3f}s (incl compile)  solved {int(rsolved.sum())}/{len(idx)}")
+        print(
+            f"retry: {t1-t0:.3f}s (incl compile), {t2-t1:.3f}s warm  "
+            f"solved {int(rsolved.sum())}/{len(idx)}"
+        )
         solved = solved.copy()
         solved[idx] = rsolved
 

@@ -331,16 +331,38 @@ def run_suite(
     max_problems: int | None = None,
     batch_size: int = 700,
     warmup: bool = True,
+    planner: str = "auto",
 ) -> SuiteResult:
     """Plan + simplify a whole MBM suite as batched device programs.
 
-    One lockstep batch per `batch_size` problems (default: the whole suite in
-    a single batch — lockstep straggler waste shrinks as the batch grows);
-    unsolved problems are rerun at a 32x sample budget in a compact batch.
-    Simplification pair validation is chunked (pair_chunk) to bound memory.
+    planner="mega" (default on TPU) runs the per-problem Pallas megakernel
+    (planning/rrtc_mega.py): each problem stops the instant it is done, so a
+    single batch covers the whole suite and only unsolved problems rerun at a
+    32x budget.  planner="xla" keeps the lockstep state machine with straggler
+    compaction (r1 driver; also the CPU/test path).
     """
     spec = registry.load(robot)
-    if settings is None:
+    if planner == "auto":
+        # megakernel on real TPUs; the lockstep XLA driver elsewhere (the
+        # megakernel only runs interpreted on CPU, far too slow for a suite)
+        planner = "mega" if jax.default_backend() == "tpu" else "xla"
+    if planner == "mega":
+        if settings is None:
+            settings = rrtc.RRTCSettings(
+                range=registry.RRT_RANGES.get(robot, 1.0),
+                max_iterations=4096,
+                max_samples=2048,
+                max_path=96,
+                samples_per_step=16,
+                connect_segments=8,
+                sample_window=4,
+            )
+        retry_settings = dataclasses.replace(
+            settings,
+            max_iterations=32 * 4096,
+            max_samples=16384,
+        )
+    elif settings is None:
         settings = rrtc.RRTCSettings(
             range=registry.RRT_RANGES.get(robot, 1.0),
             max_iterations=4096,
@@ -356,18 +378,19 @@ def run_suite(
         )
     if simp_settings is None:
         simp_settings = simplify.SimplifySettings(pair_chunk=64)
-    # straggler phase: much larger sample budget at high K (fewer lockstep
-    # steps; per-step fixed cost dominates at small batch sizes).  The NN
-    # prefix bucketing in plan_batch_compact keeps the big node buffer cheap
-    # until a tree actually grows into it.
-    retry_settings = dataclasses.replace(
-        settings,
-        max_iterations=32 * 4096,
-        max_samples=16384,
-        samples_per_step=128,
-        connect_segments=16,
-        sample_window=4,
-    )
+    if planner != "mega":
+        # straggler phase: much larger sample budget at high K (fewer lockstep
+        # steps; per-step fixed cost dominates at small batch sizes).  The NN
+        # prefix bucketing in plan_batch_compact keeps the big node buffer
+        # cheap until a tree actually grows into it.
+        retry_settings = dataclasses.replace(
+            settings,
+            max_iterations=32 * 4096,
+            max_samples=16384,
+            samples_per_step=128,
+            connect_segments=16,
+            sample_window=4,
+        )
     RETRY_B = 16  # fixed straggler batch size so the retry compiles once
 
     data = load_problems(robot)
@@ -399,12 +422,34 @@ def run_suite(
     )(envs, goals, masks)
     valid = np.asarray(valid_start & valid_goal)[:n_real]
 
-    plan_fn = lambda e, s, g, m: rrtc.plan_batch_compact(
-        spec, e, s, g, m, settings, segment_steps=64
-    )
-    simp_fn = lambda e, p, l: simplify.simplify_batch_compact(
-        spec, e, p, l, simp_settings
-    )
+    if planner == "mega":
+        from vamp_mvt_tpu.planning import rrtc_mega, simplify_mega
+
+        plan_fn = lambda e, s, g, m: rrtc_mega.plan_batch_mega(
+            spec, e, s, g, m, settings
+        )
+        retry_fn = lambda e, s, g, m: rrtc_mega.plan_batch_mega(
+            spec, e, s, g, m, retry_settings
+        )
+        if simplify_mega.supports(simp_settings):
+            simp_fn = lambda e, p, l: simplify_mega.simplify_batch_mega(
+                spec, e, p, l, simp_settings
+            )
+        else:
+            simp_fn = lambda e, p, l: simplify.simplify_batch_compact(
+                spec, e, p, l, simp_settings
+            )
+    else:
+        plan_fn = lambda e, s, g, m: rrtc.plan_batch_compact(
+            spec, e, s, g, m, settings, segment_steps=64
+        )
+        # min_batch == RETRY_B so the warmup visits every compiled retry size
+        retry_fn = lambda e, s, g, m: rrtc.plan_batch_compact(
+            spec, e, s, g, m, retry_settings, segment_steps=64, min_batch=RETRY_B
+        )
+        simp_fn = lambda e, p, l: simplify.simplify_batch_compact(
+            spec, e, p, l, simp_settings
+        )
 
     def batches(arr):
         return [
@@ -414,11 +459,6 @@ def run_suite(
 
     env_b = batches(envs)
     st_b, gl_b, mk_b = batches(starts), batches(goals), batches(masks)
-
-    # min_batch == RETRY_B so the warmup visits every compiled retry size
-    retry_fn = lambda e, s, g, m: rrtc.plan_batch_compact(
-        spec, e, s, g, m, retry_settings, segment_steps=64, min_batch=RETRY_B
-    )
 
     if warmup:
         # The compacting driver compiles one program per batch size it visits;

@@ -173,6 +173,27 @@ def load_problems(robot: str, use_cache: bool = True) -> dict:
     return out
 
 
+def load_problems_pkl(path) -> dict:
+    """Load a pre-converted problem pickle (the output layout of the
+    reference's resources/robometrics_to_pkl_json.py and
+    problem_tar_to_pkl_json.py): {robot, joints, problems: {name: [...]}}.
+
+    Robometrics datasets (mpinets-1800, robometrics-mbm-800) are distributed
+    through the external `robometrics` pip package; convert them with the
+    reference script (or any tool emitting this layout) and pass the pickle
+    here / via evaluate_mbm --problems_pkl.  Problems may carry a precomputed
+    'valid' flag, which run_suite compares against its own validity check.
+    """
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    for plist in data["problems"].values():
+        for prob in plist:
+            prob.setdefault("sphere", [])
+            prob.setdefault("cylinder", [])
+            prob.setdefault("box", [])
+    return data
+
+
 def problem_to_builder(problem: dict) -> envmod.EnvironmentBuilder:
     """Environment construction, mirroring problem_dict_to_vamp
     (reference src/vamp/__init__.py:142-188, incl. the 'box' problem's
@@ -319,6 +340,19 @@ class SuiteResult:
         return "\n".join(rows)
 
 
+@jax.jit
+def _gather_sub(tree, take):
+    return jax.tree_util.tree_map(lambda a: a[take], tree)
+
+
+@jax.jit
+def _scatter_merge(base_tree, new_tree, idx):
+    """base[idx[k]] = new[k] for every leaf; out-of-bounds idx rows drop."""
+    return jax.tree_util.tree_map(
+        lambda base, new: base.at[idx].set(new, mode="drop"), base_tree, new_tree
+    )
+
+
 def _tree_concat(results):
     return jax.tree_util.tree_map(lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *results)
 
@@ -332,6 +366,7 @@ def run_suite(
     batch_size: int = 700,
     warmup: bool = True,
     planner: str = "auto",
+    data: dict | None = None,
 ) -> SuiteResult:
     """Plan + simplify a whole MBM suite as batched device programs.
 
@@ -393,7 +428,8 @@ def run_suite(
         )
     RETRY_B = 16  # fixed straggler batch size so the retry compiles once
 
-    data = load_problems(robot)
+    if data is None:
+        data = load_problems(robot)
     problems, names = [], []
     for pname, plist in data["problems"].items():
         if problem_names and pname not in problem_names:
@@ -425,15 +461,24 @@ def run_suite(
     if planner == "mega":
         from vamp_mvt_tpu.planning import rrtc_mega, simplify_mega
 
-        plan_fn = lambda e, s, g, m: rrtc_mega.plan_batch_mega(
-            spec, e, s, g, m, settings
+        # jit the full per-batch pipelines: the megakernel wrappers do a
+        # handful of eager array preps, and every eager dispatch pays full
+        # device-call latency
+        plan_fn = jax.jit(
+            lambda e, s, g, m: rrtc_mega.plan_batch_mega(
+                spec, e, s, g, m, settings
+            )
         )
-        retry_fn = lambda e, s, g, m: rrtc_mega.plan_batch_mega(
-            spec, e, s, g, m, retry_settings
+        retry_fn = jax.jit(
+            lambda e, s, g, m: rrtc_mega.plan_batch_mega(
+                spec, e, s, g, m, retry_settings
+            )
         )
         if simplify_mega.supports(simp_settings):
-            simp_fn = lambda e, p, l: simplify_mega.simplify_batch_mega(
-                spec, e, p, l, simp_settings
+            simp_fn = jax.jit(
+                lambda e, p, l: simplify_mega.simplify_batch_mega(
+                    spec, e, p, l, simp_settings
+                )
             )
         else:
             simp_fn = lambda e, p, l: simplify.simplify_batch_compact(
@@ -466,11 +511,11 @@ def run_suite(
         r = plan_fn(env_b[0], st_b[0], gl_b[0], mk_b[0])
         sr = simp_fn(env_b[0], r.path, r.path_length)
         jax.block_until_ready(sr)
-        take0 = np.resize(np.arange(1), RETRY_B)
-        sub0 = jax.tree_util.tree_map(
-            lambda a: a[take0], (env_b[0], st_b[0], gl_b[0], mk_b[0])
-        )
-        jax.block_until_ready(retry_fn(*sub0).solved)
+        take0 = jnp.asarray(np.resize(np.arange(1), RETRY_B))
+        sub0 = _gather_sub((env_b[0], st_b[0], gl_b[0], mk_b[0]), take0)
+        rr0 = retry_fn(*sub0)
+        jax.block_until_ready(rr0.solved)
+        jax.block_until_ready(_scatter_merge(r, rr0, take0))
 
     plan_parts, simp_parts = [], []
     t_plan = t_simp = 0.0
@@ -480,18 +525,20 @@ def run_suite(
         jax.block_until_ready(pr)
         unsolved = ~np.asarray(pr.solved)
         if unsolved.any():
-            # rerun stragglers at the 8x budget in fixed-size batches
+            # rerun stragglers at the 32x budget in fixed-size batches and
+            # scatter the results back with ONE jitted device program per
+            # batch (eager per-field scatters each pay full dispatch latency)
             idx = np.flatnonzero(unsolved)
-            merged = {f: np.array(getattr(pr, f)) for f in pr._fields}
             for off in range(0, len(idx), RETRY_B):
                 part = idx[off : off + RETRY_B]
-                take = np.resize(part, RETRY_B)
-                sub = jax.tree_util.tree_map(lambda a: a[take], (e, s_, g, m))
+                take = jnp.asarray(np.resize(part, RETRY_B))
+                sub = _gather_sub((e, s_, g, m), take)
                 rr = retry_fn(*sub)
-                jax.block_until_ready(rr)
-                for f in pr._fields:
-                    merged[f][part] = np.asarray(getattr(rr, f))[: len(part)]
-            pr = rrtc.RRTCResult(**{f: jnp.asarray(v) for f, v in merged.items()})
+                # padding rows scatter out of bounds and are dropped
+                part_pad = np.full(RETRY_B, len(unsolved), np.int32)
+                part_pad[: len(part)] = part
+                pr = _scatter_merge(pr, rr, jnp.asarray(part_pad))
+            jax.block_until_ready(pr)
         t1 = time.perf_counter()
         sr = simp_fn(e, pr.path, pr.path_length)
         jax.block_until_ready(sr)

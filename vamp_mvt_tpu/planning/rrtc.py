@@ -132,8 +132,14 @@ def _make_step(
 
     def draw_samples(idx0):
         if s.sampler == "threefry":
-            key = jax.random.fold_in(jax.random.PRNGKey(8), idx0)
-            unit = jax.random.uniform(key, (KW, d))
+            # key each sample by its ABSOLUTE index so a partially consumed
+            # window replays the same values next step — the same exact-
+            # consumption semantics the Halton path gets from its stateless
+            # radical inverse
+            keys = jax.vmap(
+                lambda i: jax.random.fold_in(jax.random.PRNGKey(8), i)
+            )(idx0 + jnp.arange(KW))
+            unit = jax.vmap(lambda k: jax.random.uniform(k, (d,)))(keys)
         else:
             unit = halton(idx0 + jnp.arange(KW), d)  # (KW, d)
         if phs is None:

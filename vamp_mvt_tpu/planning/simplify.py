@@ -410,10 +410,18 @@ def simplify_batch_compact(
             )((path, length, jnp.asarray(True), jnp.int32(0), rng_key))
             return path, length, changed, iters, rng_key, straight
 
-        def one(env, path, length, changed, iters, rng_key):
-            return _driver_iteration(
+        def one(env, path, length, changed, iters, rng_key, straight):
+            # retired lanes (stop condition met) must not keep evolving: the
+            # driver only writes results back at compaction events, and with
+            # RNG ops the path itself would drift past its stop point
+            new = _driver_iteration(
                 spec, env, s, s.pair_cap_rest, s.shortcut_jobs_rest
             )((path, length, changed, iters, rng_key))
+            active = changed & (iters < s.max_iterations) & ~straight
+            old = (path, length, changed, iters, rng_key)
+            return tuple(
+                jnp.where(active, nv, ov) for nv, ov in zip(new, old)
+            )
 
         def fin(path, length, iters, straight, orig_path, orig_length):
             P = path.shape[0]
@@ -483,7 +491,7 @@ def simplify_batch_compact(
             gidx = new_gidx
             envs = jax.tree_util.tree_map(lambda a: a[take], envs)
         path, length, changed, iters, rng_key = iter_fn(
-            envs, path, length, changed, iters, rng_key
+            envs, path, length, changed, iters, rng_key, straight
         )
 
     return SimplifyResult(**{f: jnp.asarray(v) for f, v in out.items()})

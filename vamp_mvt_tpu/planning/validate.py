@@ -202,9 +202,11 @@ def validate_motion_jobs(
         block = pg[:, :d] + pg[:, d : 2 * d] * frac[:, None]        # (t_cap, d)
         ok_jobs = fkcc(spec, env, block)
 
-    # per-segment AND over its contiguous job run: zero bad jobs inside it
+    # per-segment AND over its contiguous job run: zero bad jobs inside it.
+    # Dead (live=False) segments return False — they produce no jobs, so
+    # nothing was checked and the result must not read as "valid motion".
     bad = jnp.where(valid_job, 1 - ok_jobs.astype(jnp.int32), 0)
     pref = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(bad)])
     lo = jnp.minimum(offsets, t_cap)
     hi = jnp.minimum(cum, t_cap)
-    return (pref[hi] - pref[lo] == 0) & fits
+    return (pref[hi] - pref[lo] == 0) & fits & live

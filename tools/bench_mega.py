@@ -39,7 +39,7 @@ def main():
     data = mbm.load_problems(args.robot)
     problems = []
     for pname, plist in data["problems"].items():
-        if pname not in mbm.STANDARD_SCENARIOS:
+        if args.robot == "panda" and pname not in mbm.STANDARD_SCENARIOS:
             continue
         problems.extend(plist)
     problems = problems[: args.max]

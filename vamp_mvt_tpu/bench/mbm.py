@@ -555,3 +555,193 @@ def run_suite(
         lambda x: x[:n_real], _tree_concat(simp_parts)
     )
     return SuiteResult(names, plan_res, simp_res, valid, t_plan, t_simp)
+
+
+def run_suite_pointcloud(
+    robot: str = "panda",
+    pc_repr: str = "capt",
+    filter_type: str = "scdf",
+    problem_names=None,
+    settings: rrtc.RRTCSettings | None = None,
+    simp_settings: simplify.SimplifySettings | None = None,
+    max_problems: int | None = None,
+    batch_size: int = 100,
+    samples_per_object: int = 10000,
+    warmup: bool = True,
+    data: dict | None = None,
+):
+    """Pointcloud-mode MBM suite (reference scripts/evaluate_mbm.py:106-136).
+
+    Per problem: sample primitive surfaces -> filter (scdf/centervox) ->
+    build an MVT or CAPT pointcloud environment -> plan + simplify.  The
+    planner runs the lockstep XLA path (the Pallas kernels do not take
+    pointcloud structures yet); filter/build run on the host (native C++),
+    and their per-problem nanoseconds are reported alongside the planning
+    stats like the reference's timing columns (resources/README.md:151-183).
+
+    Returns (SuiteResult, dict with filter_ns/build_ns arrays and medians).
+    """
+    from vamp_mvt_tpu.pointcloud import pipeline
+
+    spec = registry.load(robot)
+    if settings is None:
+        settings = rrtc.RRTCSettings(
+            range=registry.RRT_RANGES.get(robot, 1.0),
+            max_iterations=4096,
+            max_samples=512,
+            max_path=96,
+            samples_per_step=16,
+            connect_segments=8,
+            sample_window=4,
+        )
+    retry_settings = dataclasses.replace(
+        settings,
+        max_iterations=16 * 4096,
+        max_samples=4096,
+        samples_per_step=64,
+        connect_segments=16,
+    )
+    RETRY_B = 8
+    if simp_settings is None:
+        simp_settings = simplify.SimplifySettings(pair_chunk=64)
+
+    if data is None:
+        data = load_problems(robot)
+    problems, names = [], []
+    for pname, plist in data["problems"].items():
+        if problem_names and pname not in problem_names:
+            continue
+        for p in plist:
+            problems.append(p)
+            names.append((pname, p["index"]))
+    if max_problems:
+        problems, names = problems[:max_problems], names[:max_problems]
+    n_real = len(problems)
+    pad = (-n_real) % batch_size
+    problems = problems + [problems[-1]] * pad
+
+    # pass 1: sample + filter + build (timed per problem, like the reference)
+    builders, filter_ns, build_ns = [], [], []
+    filtered_counts = []
+    for p in problems:
+        b, _orig, filt, f_ns, b_ns = pipeline.problem_to_pointcloud_env(
+            robot, p, pc_repr=pc_repr, samples_per_object=samples_per_object,
+            filter_type=filter_type,
+        )
+        builders.append(b)
+        filter_ns.append(f_ns)
+        build_ns.append(b_ns)
+        filtered_counts.append(0)
+
+    # pad structures to common shapes for batching
+    if pc_repr == "mvt":
+        nv = max(b.mvt.voxel_points.shape[0] for b in builders)
+        cc = max(b.mvt.voxel_points.shape[1] for b in builders)
+        pads = {"pad_voxels": nv, "pad_capacity": cc}
+    else:
+        nl = max(b.capt.leaf_aabb.shape[0] for b in builders)
+        cc = max(b.capt.aff_points.shape[1] for b in builders)
+        pads = {"pad_leaves": nl, "pad_capacity": cc}
+
+    envs_list = []
+    for p, b in zip(problems, builders):
+        b2, _, _, _, _ = pipeline.problem_to_pointcloud_env(
+            robot, p, pc_repr=pc_repr, samples_per_object=samples_per_object,
+            filter_type=filter_type, pad=pads,
+        )
+        envs_list.append(b2.build())
+    envs = envmod.stack_environments(envs_list)
+
+    G = max(len(p["goals"]) for p in problems)
+    d = len(problems[0]["start"])
+    starts = np.zeros((len(problems), d), np.float32)
+    goals = np.zeros((len(problems), G, d), np.float32)
+    masks = np.zeros((len(problems), G), bool)
+    for i, p in enumerate(problems):
+        starts[i] = p["start"]
+        for g, goal in enumerate(p["goals"]):
+            goals[i, g] = goal
+            masks[i, g] = True
+    starts, goals, masks = jnp.asarray(starts), jnp.asarray(goals), jnp.asarray(masks)
+
+    valid_start = validate_configs(spec, envs, starts)
+    valid_goal = jax.jit(
+        jax.vmap(
+            lambda e, g, m: jnp.any(
+                jax.vmap(lambda q: fkcc.fkcc(spec, e, q[None])[0])(g) & m
+            )
+        )
+    )(envs, goals, masks)
+    valid = np.asarray(valid_start & valid_goal)[:n_real]
+
+    plan_fn = lambda e, s, g, m: rrtc.plan_batch_compact(
+        spec, e, s, g, m, settings, segment_steps=64
+    )
+    retry_fn = lambda e, s, g, m: rrtc.plan_batch_compact(
+        spec, e, s, g, m, retry_settings, segment_steps=64, min_batch=RETRY_B
+    )
+    simp_fn = lambda e, p, l: simplify.simplify_batch_compact(
+        spec, e, p, l, simp_settings
+    )
+
+    def batches(arr):
+        return [
+            jax.tree_util.tree_map(lambda a: a[i : i + batch_size], arr)
+            for i in range(0, len(problems), batch_size)
+        ]
+
+    env_b = batches(envs)
+    st_b, gl_b, mk_b = batches(starts), batches(goals), batches(masks)
+
+    if warmup:
+        r = plan_fn(env_b[0], st_b[0], gl_b[0], mk_b[0])
+        sr = simp_fn(env_b[0], r.path, r.path_length)
+        jax.block_until_ready(sr)
+        take0 = np.resize(np.arange(1), RETRY_B)
+        sub0 = jax.tree_util.tree_map(
+            lambda a: a[take0], (env_b[0], st_b[0], gl_b[0], mk_b[0])
+        )
+        jax.block_until_ready(retry_fn(*sub0).solved)
+
+    plan_parts, simp_parts = [], []
+    t_plan = t_simp = 0.0
+    for e, s_, g, m in zip(env_b, st_b, gl_b, mk_b):
+        t0 = time.perf_counter()
+        pr = plan_fn(e, s_, g, m)
+        jax.block_until_ready(pr)
+        unsolved = ~np.asarray(pr.solved)
+        if unsolved.any():
+            idx = np.flatnonzero(unsolved)
+            merged = {f: np.array(getattr(pr, f)) for f in pr._fields}
+            for off in range(0, len(idx), RETRY_B):
+                part = idx[off : off + RETRY_B]
+                take = np.resize(part, RETRY_B)
+                sub = jax.tree_util.tree_map(lambda a: a[take], (e, s_, g, m))
+                rr = retry_fn(*sub)
+                jax.block_until_ready(rr)
+                for f in pr._fields:
+                    merged[f][part] = np.asarray(getattr(rr, f))[: len(part)]
+            pr = rrtc.RRTCResult(**{f: jnp.asarray(v) for f, v in merged.items()})
+        t1 = time.perf_counter()
+        sr = simp_fn(e, pr.path, pr.path_length)
+        jax.block_until_ready(sr)
+        t2 = time.perf_counter()
+        t_plan += t1 - t0
+        t_simp += t2 - t1
+        plan_parts.append(pr)
+        simp_parts.append(sr)
+
+    plan_res = jax.tree_util.tree_map(lambda x: x[:n_real], _tree_concat(plan_parts))
+    simp_res = jax.tree_util.tree_map(lambda x: x[:n_real], _tree_concat(simp_parts))
+    suite = SuiteResult(names, plan_res, simp_res, valid, t_plan, t_simp)
+    f_ns = np.asarray(filter_ns[:n_real], np.float64)
+    b_ns = np.asarray(build_ns[:n_real], np.float64)
+    timings = {
+        "filter_ns": f_ns,
+        "build_ns": b_ns,
+        "filter_median_ms": float(np.median(f_ns)) / 1e6,
+        "build_median_ms": float(np.median(b_ns)) / 1e6,
+        "pc_repr": pc_repr,
+        "filter_type": filter_type,
+    }
+    return suite, timings

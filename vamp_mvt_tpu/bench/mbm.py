@@ -598,8 +598,6 @@ def run_suite_pointcloud(
         settings,
         max_iterations=16 * 4096,
         max_samples=4096,
-        samples_per_step=64,
-        connect_segments=16,
     )
     RETRY_B = 8
     if simp_settings is None:
@@ -620,37 +618,79 @@ def run_suite_pointcloud(
     pad = (-n_real) % batch_size
     problems = problems + [problems[-1]] * pad
 
-    # pass 1: sample + filter + build (timed per problem, like the reference)
-    builders, filter_ns, build_ns = [], [], []
-    filtered_counts = []
+    use_mega = jax.default_backend() == "tpu"
+
+    # pass 1: sample + filter + build (timed per problem, like the reference).
+    # The requested representation (MVT/CAPT) is built for its build-time
+    # metric; planning itself uses the kernel-resident structure (pck) on
+    # TPU — query decisions are identical (both are exact sphere-vs-points).
+    pcks, envs_list, filter_ns, build_ns = [], [], [], []
     for p in problems:
         b, _orig, filt, f_ns, b_ns = pipeline.problem_to_pointcloud_env(
             robot, p, pc_repr=pc_repr, samples_per_object=samples_per_object,
-            filter_type=filter_type,
+            filter_type=filter_type, kernel_pc=use_mega,
         )
-        builders.append(b)
         filter_ns.append(f_ns)
         build_ns.append(b_ns)
-        filtered_counts.append(0)
+        if use_mega:
+            pcks.append(b.pck)
+        else:
+            envs_list.append(b)
 
-    # pad structures to common shapes for batching
-    if pc_repr == "mvt":
-        nv = max(b.mvt.voxel_points.shape[0] for b in builders)
-        cc = max(b.mvt.voxel_points.shape[1] for b in builders)
-        pads = {"pad_voxels": nv, "pad_capacity": cc}
+    if use_mega:
+        # pad chunk arrays to the batch maximum (meta keeps the live count)
+        from vamp_mvt_tpu.collision.pc_kernel import CS, SS, PCKernelData
+
+        nch = max(pk.chunks.shape[0] for pk in pcks)
+        nsc = max(pk.supers.shape[0] for pk in pcks)
+        FAR = np.float32(1e8)
+
+        def padpk(pk):
+            n = pk.chunks.shape[0]
+            m = pk.supers.shape[0]
+            if n == nch and m == nsc:
+                return pk
+            ch = np.full((nch, 8), 0.0, np.float32)
+            ch[:n] = np.asarray(pk.chunks)
+            ch[n:, :3] = FAR
+            pt = np.full((nch, 3 * CS), FAR, np.float32)
+            pt[:n] = np.asarray(pk.points)
+            su = np.full((nsc, 8), 0.0, np.float32)
+            su[:m] = np.asarray(pk.supers)
+            su[m:, :3] = FAR
+            return PCKernelData(
+                bitmap=pk.bitmap, chunks=jnp.asarray(ch),
+                points=jnp.asarray(pt), supers=jnp.asarray(su),
+                meta=pk.meta, radii=pk.radii,
+            )
+
+        base = envmod.EnvironmentBuilder().build()
+        envs_list = [
+            envmod.Environment(
+                **{**base._asdict(), "pck": padpk(pk)}
+            )
+            for pk in pcks
+        ]
+        envs = envmod.stack_environments(envs_list)
     else:
-        nl = max(b.capt.leaf_aabb.shape[0] for b in builders)
-        cc = max(b.capt.aff_points.shape[1] for b in builders)
-        pads = {"pad_leaves": nl, "pad_capacity": cc}
-
-    envs_list = []
-    for p, b in zip(problems, builders):
-        b2, _, _, _, _ = pipeline.problem_to_pointcloud_env(
-            robot, p, pc_repr=pc_repr, samples_per_object=samples_per_object,
-            filter_type=filter_type, pad=pads,
-        )
-        envs_list.append(b2.build())
-    envs = envmod.stack_environments(envs_list)
+        # XLA fallback path (CPU/tests): batch the full MVT/CAPT structures
+        if pc_repr == "mvt":
+            nv = max(b.mvt.voxel_points.shape[0] for b in envs_list)
+            cc = max(b.mvt.voxel_points.shape[1] for b in envs_list)
+            pads = {"pad_voxels": nv, "pad_capacity": cc}
+        else:
+            nl = max(b.capt.leaf_aabb.shape[0] for b in envs_list)
+            cc = max(b.capt.aff_points.shape[1] for b in envs_list)
+            pads = {"pad_leaves": nl, "pad_capacity": cc}
+        rebuilt = []
+        for p in problems:
+            b2, _, _, _, _ = pipeline.problem_to_pointcloud_env(
+                robot, p, pc_repr=pc_repr,
+                samples_per_object=samples_per_object,
+                filter_type=filter_type, pad=pads, kernel_pc=False,
+            )
+            rebuilt.append(b2.build())
+        envs = envmod.stack_environments(rebuilt)
 
     G = max(len(p["goals"]) for p in problems)
     d = len(problems[0]["start"])
@@ -674,15 +714,34 @@ def run_suite_pointcloud(
     )(envs, goals, masks)
     valid = np.asarray(valid_start & valid_goal)[:n_real]
 
-    plan_fn = lambda e, s, g, m: rrtc.plan_batch_compact(
-        spec, e, s, g, m, settings, segment_steps=64
-    )
-    retry_fn = lambda e, s, g, m: rrtc.plan_batch_compact(
-        spec, e, s, g, m, retry_settings, segment_steps=64, min_batch=RETRY_B
-    )
-    simp_fn = lambda e, p, l: simplify.simplify_batch_compact(
-        spec, e, p, l, simp_settings
-    )
+    if use_mega:
+        from vamp_mvt_tpu.planning import rrtc_mega, simplify_mega
+
+        plan_fn = jax.jit(
+            lambda e, s, g, m: rrtc_mega.plan_batch_mega(
+                spec, e, s, g, m, settings
+            )
+        )
+        retry_fn = jax.jit(
+            lambda e, s, g, m: rrtc_mega.plan_batch_mega(
+                spec, e, s, g, m, retry_settings
+            )
+        )
+        simp_fn = jax.jit(
+            lambda e, p, l: simplify_mega.simplify_batch_mega(
+                spec, e, p, l, simp_settings
+            )
+        )
+    else:
+        plan_fn = lambda e, s, g, m: rrtc.plan_batch_compact(
+            spec, e, s, g, m, settings, segment_steps=64
+        )
+        retry_fn = lambda e, s, g, m: rrtc.plan_batch_compact(
+            spec, e, s, g, m, retry_settings, segment_steps=64, min_batch=RETRY_B
+        )
+        simp_fn = lambda e, p, l: simplify.simplify_batch_compact(
+            spec, e, p, l, simp_settings
+        )
 
     def batches(arr):
         return [
@@ -697,11 +756,11 @@ def run_suite_pointcloud(
         r = plan_fn(env_b[0], st_b[0], gl_b[0], mk_b[0])
         sr = simp_fn(env_b[0], r.path, r.path_length)
         jax.block_until_ready(sr)
-        take0 = np.resize(np.arange(1), RETRY_B)
-        sub0 = jax.tree_util.tree_map(
-            lambda a: a[take0], (env_b[0], st_b[0], gl_b[0], mk_b[0])
-        )
-        jax.block_until_ready(retry_fn(*sub0).solved)
+        take0 = jnp.asarray(np.resize(np.arange(1), RETRY_B))
+        sub0 = _gather_sub((env_b[0], st_b[0], gl_b[0], mk_b[0]), take0)
+        rr0 = retry_fn(*sub0)
+        jax.block_until_ready(rr0.solved)
+        jax.block_until_ready(_scatter_merge(r, rr0, take0))
 
     plan_parts, simp_parts = [], []
     t_plan = t_simp = 0.0
@@ -712,16 +771,15 @@ def run_suite_pointcloud(
         unsolved = ~np.asarray(pr.solved)
         if unsolved.any():
             idx = np.flatnonzero(unsolved)
-            merged = {f: np.array(getattr(pr, f)) for f in pr._fields}
             for off in range(0, len(idx), RETRY_B):
                 part = idx[off : off + RETRY_B]
-                take = np.resize(part, RETRY_B)
-                sub = jax.tree_util.tree_map(lambda a: a[take], (e, s_, g, m))
+                take = jnp.asarray(np.resize(part, RETRY_B))
+                sub = _gather_sub((e, s_, g, m), take)
                 rr = retry_fn(*sub)
-                jax.block_until_ready(rr)
-                for f in pr._fields:
-                    merged[f][part] = np.asarray(getattr(rr, f))[: len(part)]
-            pr = rrtc.RRTCResult(**{f: jnp.asarray(v) for f, v in merged.items()})
+                part_pad = np.full(RETRY_B, len(unsolved), np.int32)
+                part_pad[: len(part)] = part
+                pr = _scatter_merge(pr, rr, jnp.asarray(part_pad))
+            jax.block_until_ready(pr)
         t1 = time.perf_counter()
         sr = simp_fn(e, pr.path, pr.path_length)
         jax.block_until_ready(sr)

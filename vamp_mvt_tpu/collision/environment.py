@@ -46,6 +46,8 @@ class Environment(NamedTuple):
     hf_data: jnp.ndarray      # (..., Nh, max_cells)
     mvt: object = None        # MVTData pointcloud structure (collision/mvt.py)
     capt: object = None       # CAPTData pointcloud structure (collision/capt.py)
+    pck: object = None        # PCKernelData (collision/pc_kernel.py): the
+                              #   Pallas-kernel-resident pointcloud form
     attachment: object = None # Attachment (end-effector payload spheres)
 
 
@@ -147,6 +149,7 @@ class EnvironmentBuilder:
     heightfields: list = dataclasses.field(default_factory=list)
     mvt: object = None
     capt: object = None
+    pck: object = None
     attachment: object = None
 
     def add_sphere(self, center, radius):
@@ -198,6 +201,29 @@ class EnvironmentBuilder:
         t0 = time.perf_counter_ns()
         self.mvt = build_mvt(
             points, r_min, r_max, workspace_min, workspace_max, r_point, **pad
+        )
+        return time.perf_counter_ns() - t0
+
+    def add_kernel_pointcloud(
+        self,
+        points,
+        class_radii,
+        workspace_min,
+        workspace_max,
+        r_point: float,
+        max_radius: float,
+        pad_chunks: int | None = None,
+    ) -> int:
+        """Build + attach the Pallas-kernel pointcloud structure
+        (collision/pc_kernel.py); returns build time in ns."""
+        import time
+
+        from vamp_mvt_tpu.collision.pc_kernel import build_pc_kernel
+
+        t0 = time.perf_counter_ns()
+        self.pck = build_pc_kernel(
+            points, class_radii, workspace_min, workspace_max, r_point,
+            max_radius, pad_chunks=pad_chunks,
         )
         return time.perf_counter_ns() - t0
 
@@ -258,6 +284,7 @@ class EnvironmentBuilder:
             hf_data=jnp.asarray(hf_data),
             mvt=self.mvt,
             capt=self.capt,
+            pck=self.pck,
             attachment=self.attachment,
         )
 

@@ -78,14 +78,18 @@ def _broadcast_tile(e):
     return e
 
 
-def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows):
+def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
+              pc_refs=None, pc_scratch=None):
     """Fused FK + collision over one (8, 128) tile of configurations.
 
     q_rows: list of d (8, 128) tiles (configuration dimension-major).
     env_refs: (sph, cap, zcap, cub, zcub) SMEM refs shaped (1, n, f).
+    pc_refs: optional pointcloud structure refs (bitmap VMEM, chunks VMEM,
+    points VMEM, meta SMEM) — see collision/pc_kernel.py; enabled when
+    counts["pc_chunks"] > 0.
     Returns the (8, 128) minimum signed value over all checks — the
     configuration is collision-free iff vmin >= 0.  Shared by the fkcc
-    block kernel below and the planner megakernel (planning/rrtc_mega.py).
+    block kernel below and the planner/simplify megakernels.
     """
     sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref = env_refs
     radii = [float(r) for r in spec.sphere_radius]
@@ -179,34 +183,149 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows):
             d2 = (cx[i] - cx[j]) ** 2 + (cy[i] - cy[j]) ** 2 + (cz[i] - cz[j]) ** 2
             vmin = jnp.minimum(vmin, d2 - pair_thr[(i, j)])
 
+        # --- pointcloud: per-class certain-free bitmap + exact chunk scan ---
+        # One DYNAMIC loop over spheres (unrolling it 59-111x explodes Mosaic
+        # compile time): sphere centers are staged to a VMEM scratch and read
+        # back by index; per-sphere radius/class comes from a small SMEM
+        # table (stab_ref).
+        if counts.get("pc_chunks", 0):
+            from vamp_mvt_tpu.collision.pc_kernel import CS
+
+            bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref = pc_refs
+            RROWS = counts["pc_rrows"]
+            wsx = pcm_ref[0, 0, 0]
+            wsy = pcm_ref[0, 0, 1]
+            wsz = pcm_ref[0, 0, 2]
+            inv = pcm_ref[0, 0, 3]
+            Wi = jnp.int32(pcm_ref[0, 0, 4])
+            pr = pcm_ref[0, 0, 5]
+            nch_live = jnp.int32(pcm_ref[0, 0, 6])
+            nsc_live = jnp.int32(pcm_ref[0, 0, 7])
+
+            for k in range(S):
+                pc_scratch[k * 24 : k * 24 + 8, :] = cx[k]
+                pc_scratch[k * 24 + 8 : k * 24 + 16, :] = cy[k]
+                pc_scratch[k * 24 + 16 : k * 24 + 24, :] = cz[k]
+
+            def sphere_body(k, vm):
+                cxk = pc_scratch[pl.ds(k * 24, 8), :]
+                cyk = pc_scratch[pl.ds(k * 24 + 8, 8), :]
+                czk = pc_scratch[pl.ds(k * 24 + 16, 8), :]
+                rk = stab_ref[0, k, 0]
+                cls = jnp.int32(stab_ref[0, k, 1])
+
+                vx = jnp.floor((cxk - wsx) * inv).astype(jnp.int32)
+                vy = jnp.floor((cyk - wsy) * inv).astype(jnp.int32)
+                vz = jnp.floor((czk - wsz) * inv).astype(jnp.int32)
+                ing = (
+                    (vx >= 0) & (vx < Wi) & (vy >= 0) & (vy < Wi)
+                    & (vz >= 0) & (vz < Wi)
+                )
+                widx = jnp.where(ing, vx * Wi + vy, 0)
+                lanei = widx % 128
+                rowi = widx // 128
+                word = jnp.zeros((8, 128), jnp.int32)
+                for rr in range(RROWS):
+                    rowv = jnp.broadcast_to(
+                        bm_ref[pl.ds(cls * RROWS + rr, 1), :], (8, 128)
+                    )
+                    g = jnp.take_along_axis(rowv, lanei, axis=1)
+                    word = jnp.where(rowi == rr, g, word)
+                bit = (word >> jnp.where(ing, vz, 0)) & 1
+                maybe = (~ing) | (bit == 1)
+
+                thr = rk + pr
+                thr2 = thr * thr
+                any_maybe = jnp.sum(maybe.astype(jnp.float32)) > 0.0
+                nsc_k = jnp.where(any_maybe, nsc_live, 0)
+
+                def scan_one(c, vmc):
+                    # exact scan of chunk c (unrolled static lanes: dynamic-
+                    # lane scalar reads do not lower; code size is bounded by
+                    # the single dynamic sphere loop around this)
+                    out = vmc
+                    for s2 in range(CS):
+                        px = pt_ref[c, s2]
+                        py = pt_ref[c, CS + s2]
+                        pz = pt_ref[c, 2 * CS + s2]
+                        d2p = (
+                            (cxk - px) ** 2 + (cyk - py) ** 2 + (czk - pz) ** 2
+                        )
+                        out = jnp.minimum(out, d2p - thr2)
+                    return out
+
+                def chunk_body(c, vmc):
+                    bx = ch_ref[c, 0]
+                    by = ch_ref[c, 1]
+                    bz = ch_ref[c, 2]
+                    br = ch_ref[c, 3]
+                    bd2 = (cxk - bx) ** 2 + (cyk - by) ** 2 + (czk - bz) ** 2
+                    rb = thr + br + 1e-4
+                    hit = maybe & (bd2 <= rb * rb)
+                    any_hit = jnp.sum(hit.astype(jnp.float32)) > 0.0
+                    # zero-trip gating (a fori that runs 0 or 1 times) keeps
+                    # Mosaic's control flow shallow vs nested lax.cond
+                    return jax.lax.fori_loop(
+                        c, jnp.where(any_hit, c + 1, c), scan_one, vmc
+                    )
+
+                def super_body(sc, vms):
+                    from vamp_mvt_tpu.collision.pc_kernel import SS
+
+                    sx = su_ref[sc, 0]
+                    sy = su_ref[sc, 1]
+                    sz = su_ref[sc, 2]
+                    sr = su_ref[sc, 3]
+                    sd2 = (cxk - sx) ** 2 + (cyk - sy) ** 2 + (czk - sz) ** 2
+                    rs = thr + sr + 1e-4
+                    hit_s = maybe & (sd2 <= rs * rs)
+                    any_s = jnp.sum(hit_s.astype(jnp.float32)) > 0.0
+                    hi = jnp.where(
+                        any_s, jnp.minimum((sc + 1) * SS, nch_live), sc * SS
+                    )
+                    return jax.lax.fori_loop(sc * SS, hi, chunk_body, vms)
+
+                return jax.lax.fori_loop(0, nsc_k, super_body, vm)
+
+            vmin = jax.lax.fori_loop(0, S, sphere_body, vmin)
+
         return vmin
 
 
 def _make_kernel(spec: RobotSpec, counts: dict[str, int]):
-    def kernel(sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref, q_ref, out_ref):
+    def kernel(sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref, bm_ref, ch_ref,
+               pt_ref, su_ref, pcm_ref, stab_ref, q_ref, out_ref, pc_scr):
         q_rows = [q_ref[0, j, 0] for j in range(spec.dimension)]  # (8,128) each
         vmin = tile_vmin(
-            spec, counts, (sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref), q_rows
+            spec, counts, (sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref),
+            q_rows,
+            pc_refs=(bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref),
+            pc_scratch=pc_scr,
         )
         out_ref[0, 0] = (vmin >= 0.0).astype(jnp.int8)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _run(spec, sph, cap, zcap, cub, zcub, qg):
+@functools.partial(jax.jit, static_argnums=(0, 13, 14))
+def _run(spec, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab, qg,
+         has_pc, interpret=False):
     """Batched launch: env leaves (B, n, f), qg (B, d, G, 8, 128).
 
     Grid is (B*G,); each step processes one (8,128)-tile block of 1024
     configurations for one problem, fetching that problem's (small) shape
     tables into SMEM.  Returns (B, G, 8, 128) int8 validity.
     """
+    from vamp_mvt_tpu.collision.pc_kernel import MAX_CLASSES
+
     counts = {
         "spheres": sph.shape[-2],
         "capsules": cap.shape[-2],
         "z_capsules": zcap.shape[-2],
         "cuboids": cub.shape[-2],
         "z_cuboids": zcub.shape[-2],
+        "pc_chunks": ch.shape[-2] if has_pc else 0,
+        "pc_rrows": (bm.shape[-2] // MAX_CLASSES) if has_pc else 0,
     }
     kernel = _make_kernel(spec, counts)
     B, d, G = qg.shape[0], qg.shape[1], qg.shape[2]
@@ -214,6 +333,11 @@ def _run(spec, sph, cap, zcap, cub, zcub, qg):
     def smem_spec(n, f):
         return pl.BlockSpec(
             (1, n, f), lambda g: (g // G, 0, 0), memory_space=pltpu.SMEM
+        )
+
+    def vmem_spec(n, f):
+        return pl.BlockSpec(
+            (None, n, f), lambda g: (g // G, 0, 0), memory_space=pltpu.VMEM
         )
 
     return pl.pallas_call(
@@ -225,6 +349,12 @@ def _run(spec, sph, cap, zcap, cub, zcub, qg):
             smem_spec(max(counts["z_capsules"], 1), 8),
             smem_spec(max(counts["cuboids"], 1), 15),
             smem_spec(max(counts["z_cuboids"], 1), 15),
+            vmem_spec(bm.shape[-2], 128),
+            vmem_spec(ch.shape[-2], 8),
+            vmem_spec(pt.shape[-2], pt.shape[-1]),
+            vmem_spec(su.shape[-2], 8),
+            smem_spec(1, 8),
+            smem_spec(stab.shape[-2], 2),
             pl.BlockSpec(
                 (1, d, 1, 8, 128),
                 lambda g: (g // G, 0, g % G, 0, 0),
@@ -235,9 +365,50 @@ def _run(spec, sph, cap, zcap, cub, zcub, qg):
             (1, 1, 8, 128), lambda g: (g // G, g % G, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((max(spec.n_spheres * 24, 8), 128), jnp.float32)
+        ],
+        interpret=interpret,
     )(
         _pad_rows(sph), _pad_rows(cap), _pad_rows(zcap), _pad_rows(cub),
-        _pad_rows(zcub), qg,
+        _pad_rows(zcub), bm, ch, pt, su, pcm, stab, qg,
+    )
+
+
+_STAB_CACHE: dict[int, np.ndarray] = {}
+
+
+def _sphere_table(spec: RobotSpec) -> np.ndarray:
+    """(S, 2) float table: per-sphere radius and radius-class index."""
+    key = id(spec)
+    if key not in _STAB_CACHE:
+        from vamp_mvt_tpu.collision.pc_kernel import radius_classes, sphere_class
+
+        cls_radii = radius_classes(np.asarray(spec.sphere_radius))
+        tab = np.zeros((spec.n_spheres, 2), np.float32)
+        for k in range(spec.n_spheres):
+            tab[k, 0] = float(spec.sphere_radius[k])
+            tab[k, 1] = sphere_class(float(spec.sphere_radius[k]), cls_radii)
+        _STAB_CACHE[key] = tab
+    return _STAB_CACHE[key]
+
+
+def _pc_arrays(spec: RobotSpec, env: Environment):
+    """(bitmap, chunks, points, meta, stab, has_pc) with batch-shaped dummies
+    when the environment has no kernel pointcloud."""
+    lead = env.spheres.shape[:-2]
+    if env.pck is not None:
+        p = env.pck
+        stab = jnp.broadcast_to(
+            jnp.asarray(_sphere_table(spec)), lead + (spec.n_spheres, 2)
+        )
+        return p.bitmap, p.chunks, p.points, p.supers, p.meta, stab, True
+    z = lambda n, f, dt: jnp.zeros(lead + (n, f), dt)
+    from vamp_mvt_tpu.collision.pc_kernel import CS
+
+    return (
+        z(1, 128, jnp.int32), z(1, 8, jnp.float32), z(1, 3 * CS, jnp.float32),
+        z(1, 8, jnp.float32), z(1, 8, jnp.float32), z(1, 2, jnp.float32), False,
     )
 
 
@@ -248,12 +419,13 @@ def _pad_rows(a):
 
 
 def supports(env: Environment) -> bool:
-    """This kernel handles primitive shapes only (no heightfields/pointclouds/
-    attachments; those fall back to the XLA path in ops/fkcc.py)."""
+    """Primitive shapes always; pointclouds iff the kernel-resident structure
+    (env.pck, collision/pc_kernel.py) was built.  Heightfields and
+    attachments fall back to the XLA path in ops/fkcc.py."""
+    pc_ok = (env.mvt is None and env.capt is None) or env.pck is not None
     return (
         env.hf_meta.shape[-2] == 0
-        and env.mvt is None
-        and env.capt is None
+        and pc_ok
         and env.attachment is None
     )
 
@@ -273,9 +445,11 @@ def fkcc_pallas_batched(
     )
     # (B, N, d) -> (B, d, G, 8, 128)
     qg = jnp.swapaxes(qf, 1, 2).reshape(B, spec.dimension, G, 8, 128)
+    bm, ch, pt, su, pcm, stab, has_pc = _pc_arrays(spec, envs)
     out = _run(
         spec, envs.spheres, envs.capsules, envs.z_capsules, envs.cuboids,
-        envs.z_cuboids, qg,
+        envs.z_cuboids, bm, ch, pt, su, pcm, stab, qg, has_pc,
+        jax.default_backend() == "cpu",
     )
     return out.reshape(B, G * BLOCK)[:, :n].reshape((B,) + inner).astype(bool)
 
@@ -295,9 +469,11 @@ def fkcc_pallas_batched_lanes(
     pad = G * BLOCK - n
     q_d = jnp.concatenate([q_d, jnp.zeros((B, d, pad), q_d.dtype)], axis=2)
     qg = q_d.reshape(B, d, G, 8, 128)
+    bm, ch, pt, su, pcm, stab, has_pc = _pc_arrays(spec, envs)
     out = _run(
         spec, envs.spheres, envs.capsules, envs.z_capsules, envs.cuboids,
-        envs.z_cuboids, qg,
+        envs.z_cuboids, bm, ch, pt, su, pcm, stab, qg, has_pc,
+        jax.default_backend() == "cpu",
     )
     return out.reshape(B, G * BLOCK)[:, :n]
 

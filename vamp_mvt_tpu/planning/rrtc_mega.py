@@ -149,11 +149,13 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
     balance = bool(s.balance)
     lin, lrad = dp, dp + 1  # meta lanes: in_start flag, dynamic-domain radius
     def kernel(ctl_ref, nodes0_ref, sph_ref, cap_ref, zcap_ref, cub_ref,
-               zcub_ref, cfg_hbm, par_out, scal_out, buf_out, cvec_scr,
-               cnt_scr, escr, rscr, ncfg_scr, dma_sem):
+               zcub_ref, bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref,
+               cfg_hbm, par_out, scal_out, buf_out, cvec_scr, cnt_scr, escr,
+               rscr, ncfg_scr, pc_scr, dma_sem):
         # buf_out row layout: lanes 0..d-1 = configuration, lane lin =
         # in_start flag, lane lrad = dynamic-domain radius, rest zero.
         env_refs = (sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref)
+        pc_refs = (bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref)
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         iota_ch_col = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)
         row_iota_col = jax.lax.broadcasted_iota(jnp.int32, (Erow, 1), 0)
@@ -359,7 +361,7 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                     a_t = _dotx(rowslice(en, j), ohl)
                     b_t = _dotx(rowslice(ev, j), ohl)
                     q_rows.append(a_t + b_t * frac)
-                vmin = tile_vmin(spec, counts, env_refs, q_rows)
+                vmin = tile_vmin(spec, counts, env_refs, q_rows, pc_refs=pc_refs, pc_scratch=pc_scr)
                 okf = (vmin >= 0.0).astype(jnp.float32)
                 cnts = _dotx(okf, jnp.transpose(ohl))  # (8, R)
                 cnt_scr[:, t * R : (t + 1) * R] = cnts
@@ -600,8 +602,11 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 9))
-def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub, interpret):
+@functools.partial(jax.jit, static_argnums=(0, 1, 15, 16))
+def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
+              bm, ch, pt, su, pcm, stab, has_pc, interpret):
+    from vamp_mvt_tpu.collision.pc_kernel import MAX_CLASSES
+
     B, n0, _ = nodes0.shape
     G = n0 - 1
     cfg = _kernel_config(spec, settings, G)
@@ -611,6 +616,8 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub, interpret)
         "z_capsules": zcap.shape[-2],
         "cuboids": cub.shape[-2],
         "z_cuboids": zcub.shape[-2],
+        "pc_chunks": ch.shape[-2] if has_pc else 0,
+        "pc_rrows": (bm.shape[-2] // MAX_CLASSES) if has_pc else 0,
     }
     kernel = _make_mega_kernel(spec, settings, counts, cfg)
     M = cfg["M"]
@@ -642,6 +649,16 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub, interpret)
             smem_spec(max(counts["z_capsules"], 1), 8),
             smem_spec(max(counts["cuboids"], 1), 15),
             smem_spec(max(counts["z_cuboids"], 1), 15),
+            pl.BlockSpec((None, bm.shape[-2], 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, ch.shape[-2], 8), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, pt.shape[-2], pt.shape[-1]), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, su.shape[-2], 8), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            smem_spec(1, 8),
+            smem_spec(stab.shape[-2], 2),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -652,10 +669,11 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub, interpret)
             pltpu.VMEM((cfg["Erow"], 128), jnp.float32),  # escr: per-edge scalars
             pltpu.VMEM((8, 128), jnp.float32),    # rscr: per-edge rows (oidx, od)
             pltpu.VMEM((cfg["Erow"], 128), jnp.float32),  # ncfg: nearest configs
+            pltpu.VMEM((max(spec.n_spheres * 24, 8), 128), jnp.float32),  # pc
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(ctl, nodes0, sph, cap, zcap, cub, zcub)
+    )(ctl, nodes0, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -764,10 +782,13 @@ def plan_batch_mega(
     ctl = ctl.at[:, 0, 1].set(any_direct.astype(jnp.int32))
     ctl = ctl.at[:, 0, 2].set(jnp.sum(goal_masks.astype(jnp.int32), axis=1))
 
+    from vamp_mvt_tpu.ops.kernels.fkcc_pallas import _pc_arrays
+
+    bm, ch, pt, su, pcm, stab, has_pc = _pc_arrays(spec, envs)
     configs, parents, scal = _run_mega(
         spec, settings, ctl, nodes0,
         envs.spheres, envs.capsules, envs.z_capsules, envs.cuboids,
-        envs.z_cuboids, interpret,
+        envs.z_cuboids, bm, ch, pt, su, pcm, stab, has_pc, interpret,
     )
     return _finalize_mega(
         spec, settings, configs, parents, scal, starts, goals,

@@ -56,9 +56,11 @@ def _make_kernel(spec: RobotSpec, s: SimplifySettings, counts: dict, P: int):
     bspline_steps = int(s.bspline_max_steps)
 
     def kernel(ctl_ref, path_in, sph_ref, cap_ref, zcap_ref, cub_ref,
-               zcub_ref, path_out, scal_out, jscr, buf2, cj_smem, cst_smem,
-               ccnt_smem, res_smem):
+               zcub_ref, bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref,
+               path_out, scal_out, jscr, buf2, cj_smem, cst_smem, ccnt_smem,
+               res_smem, pc_scr):
         env_refs = (sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref)
+        pc_refs = (bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref)
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         lane_t = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         subl8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
@@ -109,7 +111,7 @@ def _make_kernel(spec: RobotSpec, s: SimplifySettings, counts: dict, P: int):
                     blk[:, j : j + 1] + blk[:, dp + j : dp + j + 1] * frac
                     for j in range(d)
                 ]
-                vmin = tile_vmin(spec, counts, env_refs, q_rows)
+                vmin = tile_vmin(spec, counts, env_refs, q_rows, pc_refs=pc_refs, pc_scratch=pc_scr)
                 okc = jnp.sum((vmin >= 0.0).astype(jnp.float32), axis=1,
                               keepdims=True)  # (8, 1)
                 for s2 in range(8):
@@ -334,7 +336,10 @@ def _make_kernel(spec: RobotSpec, s: SimplifySettings, counts: dict, P: int):
     return kernel, dp
 
 
-def _run(spec, settings, ctl, paths, sph, cap, zcap, cub, zcub, interpret):
+def _run(spec, settings, ctl, paths, sph, cap, zcap, cub, zcub,
+         bm, ch, pt, su, pcm, stab, has_pc, interpret):
+    from vamp_mvt_tpu.collision.pc_kernel import MAX_CLASSES
+
     B, P, _ = paths.shape
     counts = {
         "spheres": sph.shape[-2],
@@ -342,6 +347,8 @@ def _run(spec, settings, ctl, paths, sph, cap, zcap, cub, zcub, interpret):
         "z_capsules": zcap.shape[-2],
         "cuboids": cub.shape[-2],
         "z_cuboids": zcub.shape[-2],
+        "pc_chunks": ch.shape[-2] if has_pc else 0,
+        "pc_rrows": (bm.shape[-2] // MAX_CLASSES) if has_pc else 0,
     }
     kernel, dp = _make_kernel(spec, settings, counts, P)
     sph, cap, zcap, cub, zcub = (
@@ -362,6 +369,16 @@ def _run(spec, settings, ctl, paths, sph, cap, zcap, cub, zcub, interpret):
             smem_spec(max(counts["z_capsules"], 1), 8),
             smem_spec(max(counts["cuboids"], 1), 15),
             smem_spec(max(counts["z_cuboids"], 1), 15),
+            pl.BlockSpec((None, bm.shape[-2], 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, ch.shape[-2], 8), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, pt.shape[-2], pt.shape[-1]), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, su.shape[-2], 8), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            smem_spec(1, 8),
+            smem_spec(stab.shape[-2], 2),
         ],
         out_specs=(
             pl.BlockSpec((None, P, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -378,20 +395,22 @@ def _run(spec, settings, ctl, paths, sph, cap, zcap, cub, zcub, interpret):
             pltpu.SMEM((CMAX,), jnp.int32),         # candidate job start
             pltpu.SMEM((CMAX,), jnp.int32),         # candidate job count
             pltpu.SMEM((JMAX,), jnp.int32),         # per-job validity
+            pltpu.VMEM((max(spec.n_spheres * 24, 8), 128), jnp.float32),  # pc
         ],
         interpret=interpret,
-    )(ctl, paths, sph, cap, zcap, cub, zcub)
+    )(ctl, paths, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab)
 
 
 _RUN_CACHE: dict = {}
 
 
-def _run_jitted(spec, settings, interpret):
-    key = (id(spec), settings, interpret)
+def _run_jitted(spec, settings, interpret, has_pc):
+    key = (id(spec), settings, interpret, has_pc)
     if key not in _RUN_CACHE:
         _RUN_CACHE[key] = jax.jit(
-            lambda ctl, paths, a, b, c, dd, e: _run(
-                spec, settings, ctl, paths, a, b, c, dd, e, interpret
+            lambda ctl, paths, a, b, c, dd, e, bm, ch, pt, su, pcm, stab: _run(
+                spec, settings, ctl, paths, a, b, c, dd, e,
+                bm, ch, pt, su, pcm, stab, has_pc, interpret
             )
         )
     return _RUN_CACHE[key]
@@ -425,9 +444,12 @@ def simplify_batch_mega(
     )
     ctl = jnp.zeros((B, 1, 8), jnp.int32)
     ctl = ctl.at[:, 0, 0].set(jnp.asarray(lengths, jnp.int32))
-    out128, scal = _run_jitted(spec, settings, interpret)(
+    from vamp_mvt_tpu.ops.kernels.fkcc_pallas import _pc_arrays
+
+    bm, ch, pt, su, pcm, stab, has_pc = _pc_arrays(spec, envs)
+    out128, scal = _run_jitted(spec, settings, interpret, has_pc)(
         ctl, paths128, envs.spheres, envs.capsules, envs.z_capsules,
-        envs.cuboids, envs.z_cuboids,
+        envs.cuboids, envs.z_cuboids, bm, ch, pt, su, pcm, stab,
     )
     return _finalize(paths, lengths, out128, scal, d)
 

@@ -38,8 +38,15 @@ def problem_to_pointcloud_env(
     filter_cull: bool = True,
     builder: envmod.EnvironmentBuilder | None = None,
     pad: dict | None = None,
+    kernel_pc: bool = True,
 ):
-    """Returns (builder, original_pc, filtered_pc, filter_ns, build_ns)."""
+    """Returns (builder, original_pc, filtered_pc, filter_ns, build_ns).
+
+    kernel_pc=True additionally builds the Pallas-kernel pointcloud
+    structure (collision/pc_kernel.py) so planning runs the fused kernel
+    path; its build time is included in build_ns (it is part of the
+    per-problem preprocessing, like the reference's CAPT/MVT builds).
+    """
     assert pc_repr in ("mvt", "capt")
     assert filter_type in ("scdf", "centervox")
     spec = registry.load(robot)
@@ -63,7 +70,8 @@ def problem_to_pointcloud_env(
     filter_ns = time.perf_counter_ns() - t0
 
     b = builder or envmod.EnvironmentBuilder()
-    pad = pad or {}
+    pad = dict(pad or {})
+    pc_pad_chunks = pad.pop("pc_pad_chunks", None)
     if pc_repr == "mvt":
         build_ns = b.add_mvt_pointcloud(
             filtered, spec.min_radius, spec.max_radius, bbox_lo, bbox_hi,
@@ -72,5 +80,12 @@ def problem_to_pointcloud_env(
     else:
         build_ns = b.add_capt_pointcloud(
             filtered, spec.min_radius, spec.max_radius, POINT_RADIUS, **pad
+        )
+    if kernel_pc:
+        from vamp_mvt_tpu.collision.pc_kernel import radius_classes
+
+        build_ns += b.add_kernel_pointcloud(
+            filtered, radius_classes(spec.sphere_radius), bbox_lo, bbox_hi,
+            POINT_RADIUS, float(spec.max_radius), pad_chunks=pc_pad_chunks,
         )
     return b, original, filtered, filter_ns, build_ns

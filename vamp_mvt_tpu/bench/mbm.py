@@ -659,8 +659,7 @@ def run_suite_pointcloud(
             su[:m] = np.asarray(pk.supers)
             su[m:, :3] = FAR
             return PCKernelData(
-                bitmap=pk.bitmap, chunks=jnp.asarray(ch),
-                points=jnp.asarray(pt), supers=jnp.asarray(su),
+                bitmap=pk.bitmap, chunks=ch, points=pt, supers=su,
                 meta=pk.meta, radii=pk.radii,
             )
 

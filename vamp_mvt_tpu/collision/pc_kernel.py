@@ -172,11 +172,14 @@ def build_pc_kernel(
     meta[0, 6] = live_ch
     meta[0, 7] = (live_ch + SS - 1) // SS  # live superchunks
 
+    # numpy on purpose: callers batch many structures and transfer once at
+    # stack time (per-array device transfers through the axon tunnel cost
+    # milliseconds each and would dominate "build time")
     return PCKernelData(
-        bitmap=jnp.asarray(words.astype(np.int32).reshape(MAX_CLASSES * RROWS, 128)),
-        chunks=jnp.asarray(chunks),
-        points=jnp.asarray(pts24),
-        supers=jnp.asarray(supers),
-        meta=jnp.asarray(meta),
-        radii=jnp.asarray(np.asarray(class_radii, np.float32)),
+        bitmap=words.astype(np.int32).reshape(MAX_CLASSES * RROWS, 128),
+        chunks=chunks,
+        points=pts24,
+        supers=supers,
+        meta=meta,
+        radii=np.asarray(class_radii, np.float32),
     )

@@ -181,12 +181,12 @@ def build_capt(
         aabbs[z] = leaf_aabbs[z]
 
     return CAPTData(
-        tests=jnp.asarray(tests),
-        leaf_aabb=jnp.asarray(aabbs),
-        aff_points=jnp.asarray(aff),
-        aff_count=jnp.asarray(cnt),
-        top_aabb=jnp.asarray(np.concatenate([top_lo, top_hi]).astype(np.float32)),
-        meta=jnp.asarray(np.array([r_point], dtype=np.float32)),
+        tests=np.ascontiguousarray(tests),
+        leaf_aabb=np.ascontiguousarray(aabbs),
+        aff_points=np.ascontiguousarray(aff),
+        aff_count=np.ascontiguousarray(cnt),
+        top_aabb=np.concatenate([top_lo, top_hi]).astype(np.float32),
+        meta=np.array([r_point], dtype=np.float32),
     )
 
 
@@ -208,17 +208,20 @@ def _pack_capt(tests, leaf_aabb, aff_flat, aff_start, top_aabb,
         a, b = aff_start[z], aff_start[z + 1]
         aff[z, : b - a] = aff_flat[a:b]
     return CAPTData(
-        tests=jnp.asarray(tests),
-        leaf_aabb=jnp.asarray(aabbs),
-        aff_points=jnp.asarray(aff),
-        aff_count=jnp.asarray(cnt),
-        top_aabb=jnp.asarray(top_aabb.astype(np.float32)),
-        meta=jnp.asarray(np.array([r_point], dtype=np.float32)),
+        tests=np.ascontiguousarray(tests),
+        leaf_aabb=np.ascontiguousarray(aabbs),
+        aff_points=np.ascontiguousarray(aff),
+        aff_count=np.ascontiguousarray(cnt),
+        top_aabb=top_aabb.astype(np.float32),
+        meta=np.array([r_point], dtype=np.float32),
     )
 
 
 def capt_collides(capt: CAPTData, p: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     """Query spheres (..., 3), radii (...) -> (...) bool collision."""
+    import jax
+
+    capt = jax.tree_util.tree_map(jnp.asarray, capt)  # builds are numpy-backed
     nlog2 = (capt.tests.shape[0] + 1).bit_length() - 1  # static from shape
     r_point = capt.meta[0]
 

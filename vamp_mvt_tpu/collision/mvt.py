@@ -107,11 +107,11 @@ def build_mvt(
         [*wmin, inv_scale, float(W), *gmin, *gmax, point_radius], dtype=np.float32
     )
     return MVTData(
-        grid=jnp.asarray(grid),
-        voxel_points=jnp.asarray(vp),
-        voxel_count=jnp.asarray(vc),
-        voxel_aabb=jnp.asarray(va),
-        meta=jnp.asarray(meta),
+        grid=np.ascontiguousarray(grid),
+        voxel_points=np.ascontiguousarray(vp),
+        voxel_count=np.ascontiguousarray(vc),
+        voxel_aabb=np.ascontiguousarray(va),
+        meta=np.ascontiguousarray(meta),
     )
 
 
@@ -124,6 +124,9 @@ def mvt_collides(mvt: MVTData, p: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
 
     Dense 27-voxel window with masked gathers (reference mvt.hh:205-276).
     """
+    import jax
+
+    mvt = jax.tree_util.tree_map(jnp.asarray, mvt)  # builds are numpy-backed
     m = mvt.meta
     ws_min = m[0:3]
     inv_scale = m[3]

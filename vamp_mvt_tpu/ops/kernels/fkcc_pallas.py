@@ -69,7 +69,7 @@ def _fk_centers(spec: RobotSpec, q_rows):
         R, t = poses[int(spec.sphere_frame[k])]
         p = smat.vecadd(smat.matvec(R, smat.const_vec(spec.sphere_local[k])), t)
         centers.append(p)
-    return centers
+    return centers, poses[int(spec.ee_frame)]
 
 
 def _broadcast_tile(e):
@@ -101,7 +101,7 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
     S = spec.n_spheres
 
     if True:  # body kept at original indentation for the shared helpers below
-        centers = _fk_centers(spec, q_rows)
+        centers, ee_pose = _fk_centers(spec, q_rows)
         cx = [_broadcast_tile(c[0]) for c in centers]
         cy = [_broadcast_tile(c[1]) for c in centers]
         cz = [_broadcast_tile(c[2]) for c in centers]
@@ -110,88 +110,138 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
         # f32 loop carries avoid Mosaic's vector-bool loop-carry limitation.
         vmin = jnp.full((8, 128), jnp.float32(jnp.inf))
 
-        # --- environment: dynamic loop per shape, spheres unrolled ---------
-        def sphere_body(n, m):
-            sx, sy, sz, sr = (sph_ref[0, n, i] for i in range(4))
-            for k in range(S):
-                d2 = (cx[k] - sx) ** 2 + (cy[k] - sy) ** 2 + (cz[k] - sz) ** 2
-                rs = radii[k] + sr
-                m = jnp.minimum(m, d2 - rs * rs)
-            return m
+        # --- environment: dynamic loop per shape, check-spheres unrolled ---
+        # parametric over the checked sphere set so end-effector attachment
+        # spheres reuse the same loops (reference fkcc_attach semantics)
+        def env_checks(vmin, xs_, ys_, zs_, rads_):
+            K = len(xs_)
 
-        def capsule_body(n, m, z_aligned):
-            ref = zcap_ref if z_aligned else cap_ref
-            x1, y1, z1, xv, yv, zv, r, rdv = (ref[0, n, i] for i in range(8))
-            for k in range(S):
-                if z_aligned:
-                    dot = (cz[k] - z1) * zv
-                else:
-                    dot = (cx[k] - x1) * xv + (cy[k] - y1) * yv + (cz[k] - z1) * zv
-                t = jnp.clip(dot * rdv, 0.0, 1.0)
-                if z_aligned:
-                    d2 = (cx[k] - x1) ** 2 + (cy[k] - y1) ** 2 + (cz[k] - (z1 + zv * t)) ** 2
-                else:
-                    d2 = (
-                        (cx[k] - (x1 + xv * t)) ** 2
-                        + (cy[k] - (y1 + yv * t)) ** 2
-                        + (cz[k] - (z1 + zv * t)) ** 2
-                    )
-                rs = radii[k] + r
-                m = jnp.minimum(m, d2 - rs * rs)
-            return m
+            def sphere_body(n, m):
+                sx, sy, sz, sr = (sph_ref[0, n, i] for i in range(4))
+                for k in range(K):
+                    d2 = (xs_[k] - sx) ** 2 + (ys_[k] - sy) ** 2 + (zs_[k] - sz) ** 2
+                    rs = rads_[k] + sr
+                    m = jnp.minimum(m, d2 - rs * rs)
+                return m
 
-        def cuboid_body(n, m, z_aligned):
-            ref = zcub_ref if z_aligned else cub_ref
-            (bx, by, bz, a1x, a1y, a1z, a2x, a2y, a2z, a3x, a3y, a3z, h1, h2, h3) = (
-                ref[0, n, i] for i in range(15)
-            )
-            for k in range(S):
-                xs, ys, zs = cx[k] - bx, cy[k] - by, cz[k] - bz
-                if z_aligned:
-                    p1 = jnp.maximum(jnp.abs(a1x * xs + a1y * ys) - h1, 0.0)
-                    p2 = jnp.maximum(jnp.abs(a2x * xs + a2y * ys) - h2, 0.0)
-                    p3 = jnp.maximum(jnp.abs(zs) - h3, 0.0)
-                else:
-                    p1 = jnp.maximum(jnp.abs(a1x * xs + a1y * ys + a1z * zs) - h1, 0.0)
-                    p2 = jnp.maximum(jnp.abs(a2x * xs + a2y * ys + a2z * zs) - h2, 0.0)
-                    p3 = jnp.maximum(jnp.abs(a3x * xs + a3y * ys + a3z * zs) - h3, 0.0)
-                d2 = p1 * p1 + p2 * p2 + p3 * p3
-                m = jnp.minimum(m, d2 - radii[k] * radii[k])
-            return m
+            def capsule_body(n, m, z_aligned):
+                ref = zcap_ref if z_aligned else cap_ref
+                x1, y1, z1, xv, yv, zv, r, rdv = (ref[0, n, i] for i in range(8))
+                for k in range(K):
+                    if z_aligned:
+                        dot = (zs_[k] - z1) * zv
+                    else:
+                        dot = (xs_[k] - x1) * xv + (ys_[k] - y1) * yv + (zs_[k] - z1) * zv
+                    t = jnp.clip(dot * rdv, 0.0, 1.0)
+                    if z_aligned:
+                        d2 = (xs_[k] - x1) ** 2 + (ys_[k] - y1) ** 2 + (zs_[k] - (z1 + zv * t)) ** 2
+                    else:
+                        d2 = (
+                            (xs_[k] - (x1 + xv * t)) ** 2
+                            + (ys_[k] - (y1 + yv * t)) ** 2
+                            + (zs_[k] - (z1 + zv * t)) ** 2
+                        )
+                    rs = rads_[k] + r
+                    m = jnp.minimum(m, d2 - rs * rs)
+                return m
 
-        if counts["spheres"]:
-            vmin = jax.lax.fori_loop(0, counts["spheres"], sphere_body, vmin)
-        if counts["capsules"]:
-            vmin = jax.lax.fori_loop(
-                0, counts["capsules"], lambda n, m: capsule_body(n, m, False), vmin
-            )
-        if counts["z_capsules"]:
-            vmin = jax.lax.fori_loop(
-                0, counts["z_capsules"], lambda n, m: capsule_body(n, m, True), vmin
-            )
-        if counts["cuboids"]:
-            vmin = jax.lax.fori_loop(
-                0, counts["cuboids"], lambda n, m: cuboid_body(n, m, False), vmin
-            )
-        if counts["z_cuboids"]:
-            vmin = jax.lax.fori_loop(
-                0, counts["z_cuboids"], lambda n, m: cuboid_body(n, m, True), vmin
-            )
+            def cuboid_body(n, m, z_aligned):
+                ref = zcub_ref if z_aligned else cub_ref
+                (bx, by, bz, a1x, a1y, a1z, a2x, a2y, a2z, a3x, a3y, a3z, h1, h2, h3) = (
+                    ref[0, n, i] for i in range(15)
+                )
+                for k in range(K):
+                    xo, yo, zo = xs_[k] - bx, ys_[k] - by, zs_[k] - bz
+                    if z_aligned:
+                        p1 = jnp.maximum(jnp.abs(a1x * xo + a1y * yo) - h1, 0.0)
+                        p2 = jnp.maximum(jnp.abs(a2x * xo + a2y * yo) - h2, 0.0)
+                        p3 = jnp.maximum(jnp.abs(zo) - h3, 0.0)
+                    else:
+                        p1 = jnp.maximum(jnp.abs(a1x * xo + a1y * yo + a1z * zo) - h1, 0.0)
+                        p2 = jnp.maximum(jnp.abs(a2x * xo + a2y * yo + a2z * zo) - h2, 0.0)
+                        p3 = jnp.maximum(jnp.abs(a3x * xo + a3y * yo + a3z * zo) - h3, 0.0)
+                    d2 = p1 * p1 + p2 * p2 + p3 * p3
+                    m = jnp.minimum(m, d2 - rads_[k] * rads_[k])
+                return m
+
+            if counts["spheres"]:
+                vmin = jax.lax.fori_loop(0, counts["spheres"], sphere_body, vmin)
+            if counts["capsules"]:
+                vmin = jax.lax.fori_loop(
+                    0, counts["capsules"], lambda n, m: capsule_body(n, m, False), vmin
+                )
+            if counts["z_capsules"]:
+                vmin = jax.lax.fori_loop(
+                    0, counts["z_capsules"], lambda n, m: capsule_body(n, m, True), vmin
+                )
+            if counts["cuboids"]:
+                vmin = jax.lax.fori_loop(
+                    0, counts["cuboids"], lambda n, m: cuboid_body(n, m, False), vmin
+                )
+            if counts["z_cuboids"]:
+                vmin = jax.lax.fori_loop(
+                    0, counts["z_cuboids"], lambda n, m: cuboid_body(n, m, True), vmin
+                )
+            return vmin
+
+        vmin = env_checks(vmin, cx, cy, cz, radii)
 
         # --- self collision: exact pair table, fully unrolled --------------
         for (i, j) in pairs:
             d2 = (cx[i] - cx[j]) ** 2 + (cy[i] - cy[j]) ** 2 + (cz[i] - cz[j]) ** 2
             vmin = jnp.minimum(vmin, d2 - pair_thr[(i, j)])
 
+        # --- end-effector attachment (reference fkcc_attach,
+        # panda.hh:15309-15345): pose the (pre-tf-composed) payload spheres
+        # from the EE frame, test vs environment and vs the robot's
+        # attachment-check sphere set; they also join the pointcloud /
+        # heightfield scan sets below.
+        A = counts.get("attach", 0)
+        acx, acy, acz, ar = [], [], [], []
+        if A:
+            att_ref = pc_refs[6]
+            Ree, tee = ee_pose
+            for a in range(A):
+                lx = att_ref[0, a, 0]
+                ly = att_ref[0, a, 1]
+                lz = att_ref[0, a, 2]
+                lr = att_ref[0, a, 3]
+                w = smat.vecadd(
+                    smat.matvec(Ree, [lx, ly, lz]), tee
+                )
+                acx.append(_broadcast_tile(w[0]))
+                acy.append(_broadcast_tile(w[1]))
+                acz.append(_broadcast_tile(w[2]))
+                ar.append(lr)
+            vmin = env_checks(vmin, acx, acy, acz, ar)
+            for a in range(A):
+                for kidx in [int(i) for i in spec.attachment_check_spheres]:
+                    d2 = (
+                        (acx[a] - cx[kidx]) ** 2
+                        + (acy[a] - cy[kidx]) ** 2
+                        + (acz[a] - cz[kidx]) ** 2
+                    )
+                    rs = ar[a] + radii[kidx]
+                    vmin = jnp.minimum(vmin, d2 - rs * rs)
+
+        # --- staged dynamic sphere set (robot + attachment) -----------------
+        # Pointcloud and heightfield checks loop DYNAMICALLY over spheres
+        # (unrolling 59-111x explodes Mosaic compile time): centers are
+        # staged to a VMEM scratch and read back by index; per-sphere
+        # radius/class comes from a small SMEM table (stab_ref).
+        allx, ally, allz = cx + acx, cy + acy, cz + acz
+        ST = S + A
+        if counts.get("pc_chunks", 0) or counts.get("heightfields", 0):
+            for k in range(ST):
+                pc_scratch[k * 24 : k * 24 + 8, :] = allx[k]
+                pc_scratch[k * 24 + 8 : k * 24 + 16, :] = ally[k]
+                pc_scratch[k * 24 + 16 : k * 24 + 24, :] = allz[k]
+
         # --- pointcloud: per-class certain-free bitmap + exact chunk scan ---
-        # One DYNAMIC loop over spheres (unrolling it 59-111x explodes Mosaic
-        # compile time): sphere centers are staged to a VMEM scratch and read
-        # back by index; per-sphere radius/class comes from a small SMEM
-        # table (stab_ref).
         if counts.get("pc_chunks", 0):
             from vamp_mvt_tpu.collision.pc_kernel import CS
 
-            bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref = pc_refs
+            bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref = pc_refs[:6]
             RROWS = counts["pc_rrows"]
             wsx = pcm_ref[0, 0, 0]
             wsy = pcm_ref[0, 0, 1]
@@ -201,11 +251,6 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
             pr = pcm_ref[0, 0, 5]
             nch_live = jnp.int32(pcm_ref[0, 0, 6])
             nsc_live = jnp.int32(pcm_ref[0, 0, 7])
-
-            for k in range(S):
-                pc_scratch[k * 24 : k * 24 + 8, :] = cx[k]
-                pc_scratch[k * 24 + 8 : k * 24 + 16, :] = cy[k]
-                pc_scratch[k * 24 + 16 : k * 24 + 24, :] = cz[k]
 
             def sphere_body(k, vm):
                 cxk = pc_scratch[pl.ds(k * 24, 8), :]
@@ -287,19 +332,69 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
 
                 return jax.lax.fori_loop(0, nsc_k, super_body, vm)
 
-            vmin = jax.lax.fori_loop(0, S, sphere_body, vmin)
+            vmin = jax.lax.fori_loop(0, ST, sphere_body, vmin)
+
+        # --- heightfields (reference sphere_heightfield.hh:8-30): map world
+        # xy to a grid cell, chained lane-gather of the height, compare the
+        # sphere bottom.  Same staged dynamic sphere loop as the pointcloud.
+        if counts.get("heightfields", 0):
+            NH = counts["heightfields"]
+            HR = counts["hf_rows"]
+            stab_ref = pc_refs[5]
+            hfm_ref, hfd_ref = pc_refs[7], pc_refs[8]
+
+            def hf_sphere(k, vm):
+                cxk = pc_scratch[pl.ds(k * 24, 8), :]
+                cyk = pc_scratch[pl.ds(k * 24 + 8, 8), :]
+                czk = pc_scratch[pl.ds(k * 24 + 16, 8), :]
+                rk = stab_ref[0, k, 0]
+
+                def hf_one(n, vmn):
+                    m0 = hfm_ref[0, n, 0]
+                    m1 = hfm_ref[0, n, 1]
+                    m2 = hfm_ref[0, n, 2]
+                    m3 = hfm_ref[0, n, 3]
+                    m4 = hfm_ref[0, n, 4]
+                    m5 = hfm_ref[0, n, 5]
+                    m6 = hfm_ref[0, n, 6]
+                    m7 = hfm_ref[0, n, 7]
+                    m8 = hfm_ref[0, n, 8]
+                    m9 = hfm_ref[0, n, 9]
+                    xo = m0 - cxk
+                    yo = m1 - cyk
+                    ccx = jnp.floor(jnp.clip(m3 * xo + m8, 0.0, m6))
+                    ccy = jnp.floor(jnp.clip(m4 * yo + m9, 0.0, m7))
+                    idx = (ccy * m6 + ccx).astype(jnp.int32)
+                    idx = jnp.clip(idx, 0, HR * 128 - 1)
+                    lanei = idx % 128
+                    rowi = idx // 128
+                    zh = jnp.zeros((8, 128), jnp.float32)
+                    for rr in range(HR):
+                        rowv = jnp.broadcast_to(
+                            hfd_ref[pl.ds(n * HR + rr, 1), :], (8, 128)
+                        )
+                        g = jnp.take_along_axis(rowv, lanei, axis=1)
+                        zh = jnp.where(rowi == rr, g, zh)
+                    zhs = m5 * zh + m2
+                    return jnp.minimum(vmn, czk - rk - zhs)
+
+                return jax.lax.fori_loop(0, NH, hf_one, vm)
+
+            vmin = jax.lax.fori_loop(0, ST, hf_sphere, vmin)
 
         return vmin
 
 
 def _make_kernel(spec: RobotSpec, counts: dict[str, int]):
     def kernel(sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref, bm_ref, ch_ref,
-               pt_ref, su_ref, pcm_ref, stab_ref, q_ref, out_ref, pc_scr):
+               pt_ref, su_ref, pcm_ref, stab_ref, att_ref, hfm_ref, hfd_ref,
+               q_ref, out_ref, pc_scr):
         q_rows = [q_ref[0, j, 0] for j in range(spec.dimension)]  # (8,128) each
         vmin = tile_vmin(
             spec, counts, (sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref),
             q_rows,
-            pc_refs=(bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref),
+            pc_refs=(bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref,
+                     att_ref, hfm_ref, hfd_ref),
             pc_scratch=pc_scr,
         )
         out_ref[0, 0] = (vmin >= 0.0).astype(jnp.int8)
@@ -307,9 +402,9 @@ def _make_kernel(spec: RobotSpec, counts: dict[str, int]):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 13, 14))
-def _run(spec, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab, qg,
-         has_pc, interpret=False):
+@functools.partial(jax.jit, static_argnums=(0, 16, 17))
+def _run(spec, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab, att,
+         hfm, hfd, qg, flags, interpret=False):
     """Batched launch: env leaves (B, n, f), qg (B, d, G, 8, 128).
 
     Grid is (B*G,); each step processes one (8,128)-tile block of 1024
@@ -318,6 +413,7 @@ def _run(spec, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab, qg,
     """
     from vamp_mvt_tpu.collision.pc_kernel import MAX_CLASSES
 
+    has_pc, has_att, has_hf = flags
     counts = {
         "spheres": sph.shape[-2],
         "capsules": cap.shape[-2],
@@ -326,6 +422,9 @@ def _run(spec, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab, qg,
         "z_cuboids": zcub.shape[-2],
         "pc_chunks": ch.shape[-2] if has_pc else 0,
         "pc_rrows": (bm.shape[-2] // MAX_CLASSES) if has_pc else 0,
+        "attach": att.shape[-2] if has_att else 0,
+        "heightfields": hfm.shape[-2] if has_hf else 0,
+        "hf_rows": (hfd.shape[-2] // hfm.shape[-2]) if has_hf else 0,
     }
     kernel = _make_kernel(spec, counts)
     B, d, G = qg.shape[0], qg.shape[1], qg.shape[2]
@@ -355,6 +454,9 @@ def _run(spec, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab, qg,
             vmem_spec(su.shape[-2], 8),
             smem_spec(1, 8),
             smem_spec(stab.shape[-2], 2),
+            smem_spec(att.shape[-2], 4),
+            smem_spec(hfm.shape[-2], 10),
+            vmem_spec(hfd.shape[-2], 128),
             pl.BlockSpec(
                 (1, d, 1, 8, 128),
                 lambda g: (g // G, 0, g % G, 0, 0),
@@ -366,12 +468,15 @@ def _run(spec, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab, qg,
         ),
         out_shape=jax.ShapeDtypeStruct((B, G, 8, 128), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((max(spec.n_spheres * 24, 8), 128), jnp.float32)
+            pltpu.VMEM(
+                (max((spec.n_spheres + counts["attach"]) * 24, 8), 128),
+                jnp.float32,
+            )
         ],
         interpret=interpret,
     )(
         _pad_rows(sph), _pad_rows(cap), _pad_rows(zcap), _pad_rows(cub),
-        _pad_rows(zcub), bm, ch, pt, su, pcm, stab, qg,
+        _pad_rows(zcub), bm, ch, pt, su, pcm, stab, att, hfm, hfd, qg,
     )
 
 
@@ -394,22 +499,77 @@ def _sphere_table(spec: RobotSpec) -> np.ndarray:
 
 
 def _pc_arrays(spec: RobotSpec, env: Environment):
-    """(bitmap, chunks, points, meta, stab, has_pc) with batch-shaped dummies
-    when the environment has no kernel pointcloud."""
-    lead = env.spheres.shape[:-2]
-    if env.pck is not None:
-        p = env.pck
-        stab = jnp.broadcast_to(
-            jnp.asarray(_sphere_table(spec)), lead + (spec.n_spheres, 2)
-        )
-        return p.bitmap, p.chunks, p.points, p.supers, p.meta, stab, True
-    z = lambda n, f, dt: jnp.zeros(lead + (n, f), dt)
-    from vamp_mvt_tpu.collision.pc_kernel import CS
+    """Auxiliary kernel inputs: pointcloud structure, sphere table (robot +
+    attachment rows), attachment spheres (tf pre-composed, EE frame), and
+    heightfield tables.  Returns
+      (bm, ch, pt, su, pcm, stab, att, hfm, hfd, flags)
+    with flags = (has_pc, has_att, has_hf) (static); absent features get
+    batch-shaped dummies."""
+    from vamp_mvt_tpu.collision.pc_kernel import CS, radius_classes
 
-    return (
-        z(1, 128, jnp.int32), z(1, 8, jnp.float32), z(1, 3 * CS, jnp.float32),
-        z(1, 8, jnp.float32), z(1, 8, jnp.float32), z(1, 2, jnp.float32), False,
+    lead = env.spheres.shape[:-2]
+    z = lambda n, f, dt: jnp.zeros(lead + (n, f), dt)
+
+    has_att = env.attachment is not None
+    if has_att:
+        a0 = env.attachment
+        sp = jnp.asarray(a0.spheres)
+        rot = jnp.asarray(a0.tf_rot)
+        pos = jnp.asarray(a0.tf_pos)
+        loc = (
+            jnp.einsum("...ij,...aj->...ai", rot, sp[..., :3])
+            + pos[..., None, :]
+        )
+        att = jnp.concatenate([loc, sp[..., 3:4]], axis=-1)
+        if att.ndim == 2 and lead:
+            att = jnp.broadcast_to(att, lead + att.shape)
+    else:
+        att = z(1, 4, jnp.float32)
+
+    has_hf = env.hf_meta.shape[-2] > 0
+    if has_hf:
+        NH = env.hf_meta.shape[-2]
+        C = env.hf_data.shape[-1]
+        HR = (C + 127) // 128
+        padc = HR * 128 - C
+        hfd = jnp.concatenate(
+            [env.hf_data, jnp.zeros(lead + (NH, padc), env.hf_data.dtype)],
+            axis=-1,
+        ).reshape(lead + (NH * HR, 128))
+        hfm = env.hf_meta
+    else:
+        hfm = z(1, 10, jnp.float32)
+        hfd = z(1, 128, jnp.float32)
+
+    has_pc = env.pck is not None
+    # sphere table: robot rows (static) + attachment rows (traced radius,
+    # class from the robot's radius-class edges)
+    stab = jnp.broadcast_to(
+        jnp.asarray(_sphere_table(spec)), lead + (spec.n_spheres, 2)
     )
+    if has_att:
+        cr = jnp.asarray(radius_classes(np.asarray(spec.sphere_radius)))
+        arad = att[..., 3:4]
+        acls = jnp.argmax(
+            cr >= arad - 1e-7, axis=-1, keepdims=True
+        ).astype(jnp.float32)
+        stab = jnp.concatenate(
+            [stab, jnp.concatenate([arad, acls], axis=-1)], axis=-2
+        )
+    if has_pc:
+        pk = env.pck
+        bm, ch, pt, su, pcm = (
+            jnp.asarray(pk.bitmap), jnp.asarray(pk.chunks),
+            jnp.asarray(pk.points), jnp.asarray(pk.supers),
+            jnp.asarray(pk.meta),
+        )
+    else:
+        bm, ch, pt, su, pcm = (
+            z(1, 128, jnp.int32), z(1, 8, jnp.float32),
+            z(1, 3 * CS, jnp.float32), z(1, 8, jnp.float32),
+            z(1, 8, jnp.float32),
+        )
+    return bm, ch, pt, su, pcm, stab, att, hfm, hfd, (has_pc, has_att, has_hf)
 
 
 def _pad_rows(a):
@@ -419,15 +579,11 @@ def _pad_rows(a):
 
 
 def supports(env: Environment) -> bool:
-    """Primitive shapes always; pointclouds iff the kernel-resident structure
-    (env.pck, collision/pc_kernel.py) was built.  Heightfields and
-    attachments fall back to the XLA path in ops/fkcc.py."""
-    pc_ok = (env.mvt is None and env.capt is None) or env.pck is not None
-    return (
-        env.hf_meta.shape[-2] == 0
-        and pc_ok
-        and env.attachment is None
-    )
+    """Every environment feature is kernel-resident — primitives, heightfields,
+    EE attachments, and pointclouds (via env.pck, collision/pc_kernel.py).
+    The only fallback to the XLA path (ops/fkcc.py) is an MVT/CAPT pointcloud
+    without the kernel structure built."""
+    return (env.mvt is None and env.capt is None) or env.pck is not None
 
 
 def fkcc_pallas_batched(
@@ -445,10 +601,10 @@ def fkcc_pallas_batched(
     )
     # (B, N, d) -> (B, d, G, 8, 128)
     qg = jnp.swapaxes(qf, 1, 2).reshape(B, spec.dimension, G, 8, 128)
-    bm, ch, pt, su, pcm, stab, has_pc = _pc_arrays(spec, envs)
+    bm, ch, pt, su, pcm, stab, att, hfm, hfd, flags = _pc_arrays(spec, envs)
     out = _run(
         spec, envs.spheres, envs.capsules, envs.z_capsules, envs.cuboids,
-        envs.z_cuboids, bm, ch, pt, su, pcm, stab, qg, has_pc,
+        envs.z_cuboids, bm, ch, pt, su, pcm, stab, att, hfm, hfd, qg, flags,
         jax.default_backend() == "cpu",
     )
     return out.reshape(B, G * BLOCK)[:, :n].reshape((B,) + inner).astype(bool)
@@ -469,10 +625,10 @@ def fkcc_pallas_batched_lanes(
     pad = G * BLOCK - n
     q_d = jnp.concatenate([q_d, jnp.zeros((B, d, pad), q_d.dtype)], axis=2)
     qg = q_d.reshape(B, d, G, 8, 128)
-    bm, ch, pt, su, pcm, stab, has_pc = _pc_arrays(spec, envs)
+    bm, ch, pt, su, pcm, stab, att, hfm, hfd, flags = _pc_arrays(spec, envs)
     out = _run(
         spec, envs.spheres, envs.capsules, envs.z_capsules, envs.cuboids,
-        envs.z_cuboids, bm, ch, pt, su, pcm, stab, qg, has_pc,
+        envs.z_cuboids, bm, ch, pt, su, pcm, stab, att, hfm, hfd, qg, flags,
         jax.default_backend() == "cpu",
     )
     return out.reshape(B, G * BLOCK)[:, :n]

@@ -150,12 +150,14 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
     lin, lrad = dp, dp + 1  # meta lanes: in_start flag, dynamic-domain radius
     def kernel(ctl_ref, nodes0_ref, sph_ref, cap_ref, zcap_ref, cub_ref,
                zcub_ref, bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref,
-               cfg_hbm, par_out, scal_out, buf_out, cvec_scr, cnt_scr, escr,
-               rscr, ncfg_scr, pc_scr, dma_sem):
+               att_ref, hfm_ref, hfd_ref, cfg_hbm, par_out, scal_out,
+               buf_out, cvec_scr, cnt_scr, escr, rscr, ncfg_scr, pc_scr,
+               dma_sem):
         # buf_out row layout: lanes 0..d-1 = configuration, lane lin =
         # in_start flag, lane lrad = dynamic-domain radius, rest zero.
         env_refs = (sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref)
-        pc_refs = (bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref)
+        pc_refs = (bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref,
+                   att_ref, hfm_ref, hfd_ref)
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         iota_ch_col = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)
         row_iota_col = jax.lax.broadcasted_iota(jnp.int32, (Erow, 1), 0)
@@ -602,11 +604,12 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 15, 16))
+@functools.partial(jax.jit, static_argnums=(0, 1, 18, 19))
 def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
-              bm, ch, pt, su, pcm, stab, has_pc, interpret):
+              bm, ch, pt, su, pcm, stab, att, hfm, hfd, flags, interpret):
     from vamp_mvt_tpu.collision.pc_kernel import MAX_CLASSES
 
+    has_pc, has_att, has_hf = flags
     B, n0, _ = nodes0.shape
     G = n0 - 1
     cfg = _kernel_config(spec, settings, G)
@@ -618,6 +621,9 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
         "z_cuboids": zcub.shape[-2],
         "pc_chunks": ch.shape[-2] if has_pc else 0,
         "pc_rrows": (bm.shape[-2] // MAX_CLASSES) if has_pc else 0,
+        "attach": att.shape[-2] if has_att else 0,
+        "heightfields": hfm.shape[-2] if has_hf else 0,
+        "hf_rows": (hfd.shape[-2] // hfm.shape[-2]) if has_hf else 0,
     }
     kernel = _make_mega_kernel(spec, settings, counts, cfg)
     M = cfg["M"]
@@ -659,6 +665,10 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
                          memory_space=pltpu.VMEM),
             smem_spec(1, 8),
             smem_spec(stab.shape[-2], 2),
+            smem_spec(att.shape[-2], 4),
+            smem_spec(hfm.shape[-2], 10),
+            pl.BlockSpec((None, hfd.shape[-2], 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -669,11 +679,15 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
             pltpu.VMEM((cfg["Erow"], 128), jnp.float32),  # escr: per-edge scalars
             pltpu.VMEM((8, 128), jnp.float32),    # rscr: per-edge rows (oidx, od)
             pltpu.VMEM((cfg["Erow"], 128), jnp.float32),  # ncfg: nearest configs
-            pltpu.VMEM((max(spec.n_spheres * 24, 8), 128), jnp.float32),  # pc
+            pltpu.VMEM(
+                (max((spec.n_spheres + counts["attach"]) * 24, 8), 128),
+                jnp.float32,
+            ),  # staged sphere centers (pointcloud / heightfield loops)
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(ctl, nodes0, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab)
+    )(ctl, nodes0, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab,
+      att, hfm, hfd)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -784,11 +798,12 @@ def plan_batch_mega(
 
     from vamp_mvt_tpu.ops.kernels.fkcc_pallas import _pc_arrays
 
-    bm, ch, pt, su, pcm, stab, has_pc = _pc_arrays(spec, envs)
+    bm, ch, pt, su, pcm, stab, att, hfm, hfd, flags = _pc_arrays(spec, envs)
     configs, parents, scal = _run_mega(
         spec, settings, ctl, nodes0,
         envs.spheres, envs.capsules, envs.z_capsules, envs.cuboids,
-        envs.z_cuboids, bm, ch, pt, su, pcm, stab, has_pc, interpret,
+        envs.z_cuboids, bm, ch, pt, su, pcm, stab, att, hfm, hfd, flags,
+        interpret,
     )
     return _finalize_mega(
         spec, settings, configs, parents, scal, starts, goals,

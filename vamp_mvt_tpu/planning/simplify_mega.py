@@ -57,10 +57,11 @@ def _make_kernel(spec: RobotSpec, s: SimplifySettings, counts: dict, P: int):
 
     def kernel(ctl_ref, path_in, sph_ref, cap_ref, zcap_ref, cub_ref,
                zcub_ref, bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref,
-               path_out, scal_out, jscr, buf2, cj_smem, cst_smem, ccnt_smem,
-               res_smem, pc_scr):
+               att_ref, hfm_ref, hfd_ref, path_out, scal_out, jscr, buf2,
+               cj_smem, cst_smem, ccnt_smem, res_smem, pc_scr):
         env_refs = (sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref)
-        pc_refs = (bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref)
+        pc_refs = (bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref,
+                   att_ref, hfm_ref, hfd_ref)
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         lane_t = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         subl8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
@@ -337,9 +338,10 @@ def _make_kernel(spec: RobotSpec, s: SimplifySettings, counts: dict, P: int):
 
 
 def _run(spec, settings, ctl, paths, sph, cap, zcap, cub, zcub,
-         bm, ch, pt, su, pcm, stab, has_pc, interpret):
+         bm, ch, pt, su, pcm, stab, att, hfm, hfd, flags, interpret):
     from vamp_mvt_tpu.collision.pc_kernel import MAX_CLASSES
 
+    has_pc, has_att, has_hf = flags
     B, P, _ = paths.shape
     counts = {
         "spheres": sph.shape[-2],
@@ -349,6 +351,9 @@ def _run(spec, settings, ctl, paths, sph, cap, zcap, cub, zcub,
         "z_cuboids": zcub.shape[-2],
         "pc_chunks": ch.shape[-2] if has_pc else 0,
         "pc_rrows": (bm.shape[-2] // MAX_CLASSES) if has_pc else 0,
+        "attach": att.shape[-2] if has_att else 0,
+        "heightfields": hfm.shape[-2] if has_hf else 0,
+        "hf_rows": (hfd.shape[-2] // hfm.shape[-2]) if has_hf else 0,
     }
     kernel, dp = _make_kernel(spec, settings, counts, P)
     sph, cap, zcap, cub, zcub = (
@@ -379,6 +384,10 @@ def _run(spec, settings, ctl, paths, sph, cap, zcap, cub, zcub,
                          memory_space=pltpu.VMEM),
             smem_spec(1, 8),
             smem_spec(stab.shape[-2], 2),
+            smem_spec(att.shape[-2], 4),
+            smem_spec(hfm.shape[-2], 10),
+            pl.BlockSpec((None, hfd.shape[-2], 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((None, P, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -395,22 +404,27 @@ def _run(spec, settings, ctl, paths, sph, cap, zcap, cub, zcub,
             pltpu.SMEM((CMAX,), jnp.int32),         # candidate job start
             pltpu.SMEM((CMAX,), jnp.int32),         # candidate job count
             pltpu.SMEM((JMAX,), jnp.int32),         # per-job validity
-            pltpu.VMEM((max(spec.n_spheres * 24, 8), 128), jnp.float32),  # pc
+            pltpu.VMEM(
+                (max((spec.n_spheres + counts["attach"]) * 24, 8), 128),
+                jnp.float32,
+            ),  # staged sphere centers (pointcloud / heightfield loops)
         ],
         interpret=interpret,
-    )(ctl, paths, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab)
+    )(ctl, paths, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab,
+      att, hfm, hfd)
 
 
 _RUN_CACHE: dict = {}
 
 
-def _run_jitted(spec, settings, interpret, has_pc):
-    key = (id(spec), settings, interpret, has_pc)
+def _run_jitted(spec, settings, interpret, flags):
+    key = (id(spec), settings, interpret, flags)
     if key not in _RUN_CACHE:
         _RUN_CACHE[key] = jax.jit(
-            lambda ctl, paths, a, b, c, dd, e, bm, ch, pt, su, pcm, stab: _run(
+            lambda ctl, paths, a, b, c, dd, e, bm, ch, pt, su, pcm, stab, att,
+            hfm, hfd: _run(
                 spec, settings, ctl, paths, a, b, c, dd, e,
-                bm, ch, pt, su, pcm, stab, has_pc, interpret
+                bm, ch, pt, su, pcm, stab, att, hfm, hfd, flags, interpret
             )
         )
     return _RUN_CACHE[key]
@@ -446,10 +460,11 @@ def simplify_batch_mega(
     ctl = ctl.at[:, 0, 0].set(jnp.asarray(lengths, jnp.int32))
     from vamp_mvt_tpu.ops.kernels.fkcc_pallas import _pc_arrays
 
-    bm, ch, pt, su, pcm, stab, has_pc = _pc_arrays(spec, envs)
-    out128, scal = _run_jitted(spec, settings, interpret, has_pc)(
+    bm, ch, pt, su, pcm, stab, att, hfm, hfd, flags = _pc_arrays(spec, envs)
+    out128, scal = _run_jitted(spec, settings, interpret, flags)(
         ctl, paths128, envs.spheres, envs.capsules, envs.z_capsules,
-        envs.cuboids, envs.z_cuboids, bm, ch, pt, su, pcm, stab,
+        envs.cuboids, envs.z_cuboids, bm, ch, pt, su, pcm, stab, att, hfm,
+        hfd,
     )
     return _finalize(paths, lengths, out128, scal, d)
 

@@ -142,3 +142,41 @@ def test_aorrtc_aox_mode():
     L = int(res.path_length)
     _check_segments(spec, env, np.asarray(res.path)[:L])
     assert float(res.cost) < 12.0
+
+
+def test_aorrtc_solve_batch_converges():
+    """Batched AORRTC: device-wide rounds of vmapped AOX searches with
+    per-problem cost carries (round-3; reference loop aorrtc.hh:431-487)."""
+    spec = registry.sphere_spec(lows=(-3, -3, 0), highs=(3, 3, 3), radius=0.1)
+    env = _wall_env()
+    B = 3
+    envs = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (B,) + a.shape), env
+    )
+    starts = jnp.asarray(np.tile([-2.0, 0.0, 1.0], (B, 1)), jnp.float32)
+    goals = jnp.asarray(np.tile([2.0, 0.0, 1.0], (B, 1, 1)), jnp.float32)
+    goals = goals + jnp.arange(B, dtype=jnp.float32)[:, None, None] * 0.05
+    masks = jnp.ones((B, 1), bool)
+    base = rrtc.RRTCSettings(range=1.0, max_iterations=512, max_samples=512,
+                             max_path=64)
+    settings = aorrtc.AORRTCSettings(
+        rrtc=base, max_iterations=2048, max_internal_iterations=512,
+        anytime=False,
+    )
+    res, samples, hist = aorrtc.solve_batch(
+        spec, envs, starts, goals, masks, settings, history=True
+    )
+    costs = np.asarray(res.cost)
+    solved = np.isfinite(costs)
+    assert solved.any(), "batched AORRTC solved nothing"
+    # monotone non-increasing per-problem cost history
+    h = np.asarray(hist)
+    assert (np.diff(h, axis=0) <= 1e-5).all()
+    # every solved final path is valid and beats/equals its initial cost
+    for i in range(B):
+        if not solved[i]:
+            continue
+        L = int(np.asarray(res.path_length)[i])
+        _check_segments(spec, env, np.asarray(res.path)[i, :L])
+        lb = float(np.linalg.norm(np.asarray(goals)[i, 0] - np.asarray(starts)[i]))
+        assert costs[i] >= lb - 1e-5

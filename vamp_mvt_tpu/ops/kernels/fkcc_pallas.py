@@ -17,8 +17,9 @@ N = G*1024 (padded).  Each grid step g computes validity for its 1024 configs:
   - self-collision: the robot's exact pair table unrolled (static indices
     resolve to SSA values; radii thresholds are compile-time constants)
 
-Heightfields are not supported here (the XLA path handles them); callers fall
-back automatically (see ops/fkcc.py).
+Heightfields, EE attachments, and kernel-resident pointclouds (env.pck) are
+all handled in-kernel; the only fallback to the XLA path (ops/fkcc.py) is an
+MVT/CAPT pointcloud without the kernel structure built — see supports().
 """
 
 from __future__ import annotations

@@ -68,7 +68,7 @@ def plan_batch_mega_sharded(
     cross-chip communication exists in the hot loop (per-problem planner
     state is chip-local by design, SURVEY §2.10/§5).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from vamp_mvt_tpu.planning import rrtc_mega
 
@@ -83,7 +83,7 @@ def plan_batch_mega_sharded(
             local, mesh=mesh,
             in_specs=(spec_p, spec_p, spec_p, spec_p),
             out_specs=spec_p,
-            check_rep=False,
+            check_vma=False,
         )
     )
     args = shard_batch(mesh, (envs, starts, goals, masks))
@@ -127,7 +127,7 @@ def aorrtc_restarts_sharded(
     the next round's informed sampler uses the global bound on every chip.
     Returns (best_path, best_length, best_cost, per_round_best_costs).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     import jax.numpy as jnp
 
@@ -160,7 +160,7 @@ def aorrtc_restarts_sharded(
                 PartitionSpec(axis), PartitionSpec(axis),
                 PartitionSpec(axis), PartitionSpec(axis),
             ),
-            check_rep=False,
+            check_vma=False,
         )
     )
 

@@ -35,7 +35,7 @@ from vamp_mvt_tpu.planning.rrtc import RRTCResult, RRTCSettings, _recover_path, 
 from vamp_mvt_tpu.robots.spec import RobotSpec
 from vamp_mvt_tpu.sampling.halton import halton
 
-_INF = jnp.float32(jnp.inf)
+_INF = float("inf")  # python float: module import must not init the backend
 
 
 class _AOXState(NamedTuple):

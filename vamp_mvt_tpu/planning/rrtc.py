@@ -41,7 +41,7 @@ from vamp_mvt_tpu.planning import validate as validate_mod
 from vamp_mvt_tpu.robots.spec import RobotSpec
 from vamp_mvt_tpu.sampling.halton import halton
 
-_INF = jnp.float32(jnp.inf)
+_INF = float("inf")  # python float: module import must not init the backend
 
 
 @dataclasses.dataclass(frozen=True)

@@ -123,24 +123,34 @@ def _kernel_config(spec: RobotSpec, s: RRTCSettings, G: int):
     if KW > 128:
         raise ValueError("samples_per_step * sample_window must be <= 128")
     E = K + C
-    Erow = 32 if E <= 32 else 64
+    Erow0 = 32 if E <= 32 else 64
     if E > 64:
         raise ValueError("K + C must be <= 64")
     N = validate_mod.n_points_bound(spec, s.range)
     P = _pad_div128(N)
-    R = min(128 // P, Erow // 8)  # edge groups per tile (cap: rows available)
+    R = min(128 // P, Erow0 // 8)  # edge groups per tile (cap: rows available)
     EPT = 8 * R           # edges per tile
-    NT = (E + EPT - 1) // EPT
+    # Connect edges start at a fresh tile boundary (C0) so every tile is
+    # purely grow or purely connect and the kernel can skip the tiles of the
+    # inactive mode each step — grow steps never pay for connect FK+CC and
+    # vice versa (~2x on the per-step kernel work at the bench settings).
+    C0 = ((K + EPT - 1) // EPT) * EPT
+    rows = C0 + C
+    if rows > 64:
+        raise ValueError("aligned K + C must be <= 64 edge rows")
+    Erow = 32 if rows <= 32 else 64
+    NT = (rows + EPT - 1) // EPT
     M = s.max_samples
     CH = min(M, 256)      # NN chunk rows: scan ceil(n_nodes/CH) chunks per step
     assert M % CH == 0 and M % 8 == 0
     return dict(d=d, dp=dp, K=K, C=C, W=W, KW=KW, E=E, Erow=Erow, N=N, P=P,
-                R=R, EPT=EPT, NT=NT, M=M, G=G, CH=CH)
+                R=R, EPT=EPT, NT=NT, M=M, G=G, CH=CH, C0=C0)
 
 
 def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict):
     d, dp, K, C, KW, E, Erow = (cfg[k] for k in ("d", "dp", "K", "C", "KW", "E", "Erow"))
     P, R, EPT, NT, M, G, CH = (cfg[k] for k in ("P", "R", "EPT", "NT", "M", "G", "CH"))
+    C0 = cfg["C0"]
     res8 = float(spec.resolution) / 8.0
     rng = float(s.range)
     lows = [float(x) for x in spec.limits_low]
@@ -326,14 +336,14 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             new_cfg = near_cfg + vec
             n_col = jnp.maximum(jnp.ceil(ext_dist * res8), 1.0)
 
-            # --- connect-edge params (rows K..E-1): tip + inc*(seg + frac)
+            # --- connect-edge params (rows C0..C0+C-1): tip + inc*(seg + frac)
             tip128 = jnp.where(
                 lane128 < lin, buf_out[pl.ds(c_tip, 1), :], 0.0
             )                                                  # (1, 128)
             tip_row = tip128[:, 0:dp]                          # (1, dp)
             inc128 = cvec_scr[0:1, :]
             inc_row = inc128[:, 0:dp]
-            cseg = jnp.maximum(row_iota_col - K, 0).astype(jnp.float32)
+            cseg = jnp.maximum(row_iota_col - C0, 0).astype(jnp.float32)
             is_grow_row = row_iota_col < K
             en = jnp.where(is_grow_row, near_cfg, tip_row + inc_row * cseg)
             ev = jnp.where(is_grow_row, vec, jnp.broadcast_to(inc_row, (Erow, dp)))
@@ -348,25 +358,31 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                 == jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
             ).astype(jnp.float32)                              # (R, 128) static
             for t in range(NT):
-                def rowslice(a, j):
-                    parts = [
-                        a[t * EPT + g * 8 : t * EPT + g * 8 + 8, j : j + 1]
-                        for g in range(R)
-                    ]
-                    return jnp.concatenate(parts, axis=1)      # (8, R)
+                # tiles are mode-pure (connect rows start at C0, a tile
+                # boundary): evaluate only the active mode's tiles
+                t_active = grow if (t * EPT) < K else ~grow
 
-                n_p = rowslice(jnp.broadcast_to(n_all, (Erow, dp)), 0)  # (8, R)
-                n_tile = _dotx(n_p, ohl)
-                frac = jnp.minimum(jp1 / (8.0 * n_tile), 1.0)
-                q_rows = []
-                for j in range(d):
-                    a_t = _dotx(rowslice(en, j), ohl)
-                    b_t = _dotx(rowslice(ev, j), ohl)
-                    q_rows.append(a_t + b_t * frac)
-                vmin = tile_vmin(spec, counts, env_refs, q_rows, pc_refs=pc_refs, pc_scratch=pc_scr)
-                okf = (vmin >= 0.0).astype(jnp.float32)
-                cnts = _dotx(okf, jnp.transpose(ohl))  # (8, R)
-                cnt_scr[:, t * R : (t + 1) * R] = cnts
+                @pl.when(t_active)
+                def _(t=t):
+                    def rowslice(a, j):
+                        parts = [
+                            a[t * EPT + g * 8 : t * EPT + g * 8 + 8, j : j + 1]
+                            for g in range(R)
+                        ]
+                        return jnp.concatenate(parts, axis=1)      # (8, R)
+
+                    n_p = rowslice(jnp.broadcast_to(n_all, (Erow, dp)), 0)  # (8, R)
+                    n_tile = _dotx(n_p, ohl)
+                    frac = jnp.minimum(jp1 / (8.0 * n_tile), 1.0)
+                    q_rows = []
+                    for j in range(d):
+                        a_t = _dotx(rowslice(en, j), ohl)
+                        b_t = _dotx(rowslice(ev, j), ohl)
+                        q_rows.append(a_t + b_t * frac)
+                    vmin = tile_vmin(spec, counts, env_refs, q_rows, pc_refs=pc_refs, pc_scratch=pc_scr)
+                    okf = (vmin >= 0.0).astype(jnp.float32)
+                    cnts = _dotx(okf, jnp.transpose(ohl))  # (8, R)
+                    cnt_scr[:, t * R : (t + 1) * R] = cnts
 
             # --- connect-entry NN: new grow nodes vs tree_b (chunked, as
             # above; only needed in grow mode)
@@ -478,7 +494,7 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             prefix = jnp.int32(0)
             for ci in range(C):
                 seg_active = connect & (ci < attempted_c)
-                ok_c = edge_ok(K + ci)
+                ok_c = edge_ok(C0 + ci)
                 advancing = seg_active & (c_prefix_open > 0) & ok_c
                 prefix = prefix + advancing.astype(jnp.int32)
                 c_prefix_open = jnp.where(
@@ -640,7 +656,7 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
         jax.ShapeDtypeStruct((B, 1, 16), jnp.int32),
     )
     out_specs = (
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((1, 1, M), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, 16), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
     )

@@ -31,6 +31,7 @@
 #include <vamp/robots/ur5.hh>
 #include <vamp/robots/panda.hh>
 #include <vamp/robots/fetch.hh>
+#include <vamp/robots/baxter.hh>
 
 using namespace vamp;
 
@@ -152,6 +153,10 @@ int main(int argc, char **argv)
     else if (robot == "fetch")
     {
         run<robots::Fetch>();
+    }
+    else if (robot == "baxter")
+    {
+        run<robots::Baxter>();
     }
     else
     {

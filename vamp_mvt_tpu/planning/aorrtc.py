@@ -157,3 +157,147 @@ def solve(
                                     jnp.int32(0)),
         iters,
     )
+
+
+def _phs_rotations(starts: np.ndarray, goals0: np.ndarray) -> np.ndarray:
+    """(B, d, d) Wahba rotations, the cost-independent part of make_phs."""
+    B, d = starts.shape
+    rots = np.empty((B, d, d))
+    for i in range(B):
+        diff = goals0[i] - starts[i]
+        n = np.linalg.norm(diff)
+        if n < 1e-6:
+            rots[i] = np.eye(d)
+            continue
+        wahba = np.outer(diff / n, np.eye(d)[0])
+        U, _, Vt = np.linalg.svd(wahba)
+        middle = np.ones(d)
+        middle[-1] = np.linalg.det(U) * np.linalg.det(Vt.T)
+        rots[i] = U @ np.diag(middle) @ Vt
+    return rots
+
+
+def _phs_batch(rots, starts, goals0, diameters) -> PHS:
+    """Batched PHS pytree for per-problem transverse diameters (vectorized
+    twin of make_phs; rotation precomputed once per problem)."""
+    d = starts.shape[1]
+    min_td = np.linalg.norm(goals0 - starts, axis=1)
+    conj = np.sqrt(np.maximum(diameters**2 - min_td**2, 0.0))
+    diag = np.repeat((0.5 * conj)[:, None], d, axis=1)
+    diag[:, 0] = 0.5 * diameters
+    tf = rots * diag[:, None, :]
+    return PHS(
+        center=jnp.asarray(0.5 * (starts + goals0), jnp.float32),
+        tf=jnp.asarray(tf, jnp.float32),
+        min_td=jnp.asarray(min_td, jnp.float32),
+    )
+
+
+def solve_batch(
+    spec: RobotSpec,
+    envs: Environment,
+    starts,
+    goals,
+    masks,
+    settings: AORRTCSettings | None = None,
+    sample_offsets=None,
+    history: bool = False,
+):
+    """Batched anytime-optimal refinement: the whole problem batch advances
+    through device-wide rounds (vmapped AOX cost-bounded searches with
+    per-problem cost carries + batched simplify), instead of the reference's
+    one-problem host loop (aorrtc.hh:431-487).
+
+    Returns (SimplifyResult batch, per-problem total samples[, cost history
+    (rounds+1, B) when history=True]).  PHS informed sampling is used for
+    single-goal rows (as the reference: aorrtc.hh:422-425 requires one goal).
+    """
+    from vamp_mvt_tpu.planning import aox
+
+    s = settings or AORRTCSettings()
+    starts = jnp.asarray(starts, jnp.float32)
+    goals = jnp.asarray(goals, jnp.float32)
+    masks = jnp.asarray(masks, bool)
+    B, G, d = goals.shape
+    if sample_offsets is None:
+        sample_offsets = jnp.zeros(B, jnp.int32)
+    offsets = jnp.asarray(sample_offsets, jnp.int32)
+
+    plan_b = jax.jit(
+        lambda e, st, g, m, off: jax.vmap(
+            lambda e1, s1, g1, m1, o1: rrtc_mod.plan(spec, e1, s1, g1, m1, s.rrtc, o1)
+        )(e, st, g, m, off)
+    )
+    simp_b = jax.jit(
+        lambda e, p, l: jax.vmap(
+            lambda e1, p1, l1: simplify_mod.simplify(spec, e1, p1, l1, s.simplify)
+        )(e, p, l)
+    )
+    internal = dataclasses.replace(s.rrtc, max_iterations=s.max_internal_iterations)
+    aox_phs = jax.jit(
+        lambda e, st, g, m, off, mc, phs: jax.vmap(
+            lambda e1, s1, g1, m1, o1, mc1, p1: aox.solve(
+                spec, e1, s1, g1, m1, internal, mc1, o1, phs=p1
+            )
+        )(e, st, g, m, off, mc, phs)
+    )
+    aox_uni = jax.jit(
+        lambda e, st, g, m, off, mc: jax.vmap(
+            lambda e1, s1, g1, m1, o1, mc1: aox.solve(
+                spec, e1, s1, g1, m1, internal, mc1, o1
+            )
+        )(e, st, g, m, off, mc)
+    )
+
+    # --- initial solutions (aorrtc.hh:392-397), batched ------------------
+    res = plan_b(envs, starts, goals, masks, offsets)
+    offsets = offsets + res.sample_count
+    sres = simp_b(envs, res.path, res.path_length)
+    solved0 = res.solved
+    best_path = jnp.where(solved0[:, None, None], sres.path, res.path)
+    best_len = jnp.where(solved0, sres.path_length, 0)
+    best_cost = jnp.where(solved0, sres.cost, jnp.inf)
+
+    if not s.optimize:
+        return (
+            simplify_mod.SimplifyResult(
+                best_path, best_len, best_cost, jnp.zeros(B, jnp.int32)
+            ),
+            offsets - jnp.asarray(sample_offsets, jnp.int32),
+        )
+
+    starts_np = np.asarray(starts, np.float64)
+    goals0_np = np.asarray(goals[:, 0], np.float64)
+    rots = _phs_rotations(starts_np, goals0_np)
+    use_phs = s.use_phs and G == 1
+    span = float(np.linalg.norm(np.asarray(spec.limits_high)
+                                - np.asarray(spec.limits_low)))
+
+    rounds = max((s.max_iterations - int(s.rrtc.max_iterations))
+                 // s.max_internal_iterations, 0)
+    hist = [np.asarray(best_cost)]
+    for _ in range(rounds):
+        mc = jnp.where(jnp.isfinite(best_cost), best_cost, jnp.float32(1e30))
+        if use_phs:
+            bc = np.asarray(best_cost, np.float64)
+            diam = np.where(np.isfinite(bc), bc, span)
+            phs = _phs_batch(rots, starts_np, goals0_np, diam)
+            r = aox_phs(envs, starts, goals, masks, offsets, mc, phs)
+        else:
+            r = aox_uni(envs, starts, goals, masks, offsets, mc)
+        offsets = offsets + r.sample_count
+        sr = simp_b(envs, r.path, r.path_length)
+        improved = r.solved & (sr.cost < best_cost)
+        best_path = jnp.where(improved[:, None, None], sr.path, best_path)
+        best_len = jnp.where(improved, sr.path_length, best_len)
+        best_cost = jnp.where(improved, sr.cost, best_cost)
+        if history:
+            hist.append(np.asarray(best_cost))
+
+    out = (
+        simplify_mod.SimplifyResult(
+            best_path, best_len, best_cost, jnp.zeros(B, jnp.int32)
+        ),
+        offsets - jnp.asarray(sample_offsets, jnp.int32),
+    )
+    return out + (np.stack(hist),) if history else out

@@ -79,17 +79,12 @@ def main():
     q = edge_tiles(spec, N, range_=1.0)
     qd = jnp.asarray(q.T.reshape(1, spec.dimension, N))
 
-    def run(env):
-        env1 = jax.tree_util.tree_map(lambda a: a[None], env)
-        return jax.jit(
-            lambda e, x: fp.fkcc_pallas_batched_lanes(spec, e, x)
-        )(env1, qd)
+    runner = jax.jit(lambda e, x: fp.fkcc_pallas_batched_lanes(spec, e, x)[0])
+    env_pc1 = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[None], env_pc)
+    env_pr1 = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[None], env_prim)
 
-    f_pc = lambda e, x: run(env_pc)
-    f_pr = lambda e, x: run(env_prim)
-
-    dt_pc, out_pc = bench(f_pc, None, None)
-    dt_pr, out_pr = bench(f_pr, None, None)
+    dt_pc, out_pc = bench(runner, env_pc1, qd)
+    dt_pr, out_pr = bench(runner, env_pr1, qd)
     blocks = N // 1024
     print(f"pointcloud : {dt_pc*1e3:8.2f} ms  {dt_pc/blocks*1e6:8.1f} us/block  "
           f"valid {out_pc.sum()}/{N}")
@@ -111,7 +106,17 @@ def main():
         d2 = ((c[:, :, None, :] - pts[None, None]) ** 2).sum(-1)
         hits.append((d2 <= thr2).any((1, 2)))
     hit = np.concatenate(hits)
-    agree = (np.asarray(out_pc)[sub] == ~hit).mean()
+    # kernel validity also includes self-collision: expected = self-valid AND
+    # no point hit; get self-only validity from the kernel on an empty env
+    from vamp_mvt_tpu.collision.environment import EnvironmentBuilder
+
+    env_empty1 = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a)[None], EnvironmentBuilder().build()
+    )
+    qd_sub = jnp.asarray(q[sub].T[None])
+    self_ok = np.asarray(runner(env_empty1, qd_sub)).astype(bool)
+    expected = self_ok & ~hit
+    agree = (np.asarray(out_pc)[sub].astype(bool) == expected).mean()
     print(f"exactness vs brute force (2048 sub): {agree*100:.2f}% agree")
 
 

@@ -38,6 +38,11 @@ from vamp_mvt_tpu.robots.spec import PRISMATIC, REVOLUTE, RobotSpec
 
 BLOCK = 1024  # configs per grid step: one (8, 128) tile per scalar
 
+# debug knob (perf decomposition): 0 = bitmap gate only, 1 = + superchunk
+# bound tests (no point scans), 2 = full exact phase (default/production)
+import os as _os
+_PC_PHASE = int(_os.environ.get("VAMP_PC_PHASE", "2"))
+
 
 def _fk_centers(spec: RobotSpec, q_rows):
     """FK over (8,128) tiles; returns per-sphere (cx, cy, cz) traced values."""
@@ -284,6 +289,8 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
                 thr2 = thr * thr
                 any_maybe = jnp.sum(maybe.astype(jnp.float32)) > 0.0
                 nsc_k = jnp.where(any_maybe, nsc_live, 0)
+                if _PC_PHASE == 0:
+                    return jnp.where(any_maybe & False, vm, vm)
 
                 def scan_one(c, vmc):
                     # exact scan of chunk c (unrolled static lanes: dynamic-
@@ -309,11 +316,18 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
                     rb = thr + br + 1e-4
                     hit = maybe & (bd2 <= rb * rb)
                     any_hit = jnp.sum(hit.astype(jnp.float32)) > 0.0
+                    if _PC_PHASE == 1:
+                        return jnp.where(any_hit, vmc, vmc)
                     # zero-trip gating (a fori that runs 0 or 1 times) keeps
                     # Mosaic's control flow shallow vs nested lax.cond
                     return jax.lax.fori_loop(
                         c, jnp.where(any_hit, c + 1, c), scan_one, vmc
                     )
+
+                if _PC_PHASE == 4:
+                    # per-sphere gate only; full chunk scan, no bound tests
+                    nch_k = jnp.where(any_maybe, nch_live, 0)
+                    return jax.lax.fori_loop(0, nch_k, scan_one, vm)
 
                 def super_body(sc, vms):
                     from vamp_mvt_tpu.collision.pc_kernel import SS

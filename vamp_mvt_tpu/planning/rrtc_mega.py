@@ -210,6 +210,8 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             jnp.int32(1),
             jnp.float32(1.0),
             jnp.float32(1.0),
+            jnp.int32(0),
+            jnp.int32(0),
         )
 
         def cond(c):
@@ -221,7 +223,7 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
         def body(c):
             (iters, sample_idx, n_nodes, size_start, size_goal, a_is_start,
              connect, c_tip, c_rem, c_other, done, junc_a, junc_b, a_j_start,
-             c_n, c_len) = c
+             c_n, c_len, n_gsteps, n_csteps) = c
             grow = connect == 0
 
             # --- tree balancing (rrtc.hh:100-108), grow mode only
@@ -348,6 +350,18 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             en = jnp.where(is_grow_row, near_cfg, tip_row + inc_row * cseg)
             ev = jnp.where(is_grow_row, vec, jnp.broadcast_to(inc_row, (Erow, dp)))
             n_all = jnp.where(is_grow_row, n_col, c_n)         # (Erow, 1)
+            # Stale-row clamp: rows beyond the live edge set (grow rows past
+            # n_acc, connect rows past the remaining segments) otherwise
+            # interpolate from garbage configs, sweeping wide arcs that defeat
+            # the pointcloud/heightfield gating every step.  Pin them to the
+            # connect tip (always a real tree node) with a zero vector so
+            # their FK lands on already-gated positions.
+            live_row = (is_grow_row & (row_iota_col < n_acc)) | (
+                (~is_grow_row) & ((row_iota_col - C0) < jnp.minimum(C, c_rem))
+            )
+            en = jnp.where(live_row, en, tip_row)
+            ev = jnp.where(live_row, ev, 0.0)
+            n_all = jnp.where(live_row, n_all, 1.0)
 
             # --- fused FK+CC over all E edges' interpolation grids
             jp1 = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) % P + 1).astype(
@@ -585,11 +599,14 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                 a_j_new,
                 c_n_new,
                 c_len_new,
+                n_gsteps + grow.astype(jnp.int32),
+                n_csteps + 1 - grow.astype(jnp.int32),
             )
 
         final = jax.lax.while_loop(cond, body, init)
         (iters, sample_idx, n_nodes, size_start, size_goal, _a, _c, _t, _r,
-         _o, done, junc_a, junc_b, a_j_start, _cn, _cl) = final
+         _o, done, junc_a, junc_b, a_j_start, _cn, _cl, n_gsteps,
+         n_csteps) = final
 
         scal_out[0, 0, 0] = done
         scal_out[0, 0, 1] = junc_a
@@ -600,6 +617,8 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
         scal_out[0, 0, 6] = n_nodes
         scal_out[0, 0, 7] = size_start
         scal_out[0, 0, 8] = size_goal
+        scal_out[0, 0, 9] = n_gsteps
+        scal_out[0, 0, 10] = n_csteps
 
         # copy the live node rows to the HBM output (chunked DMA; rows past
         # n_nodes stay uninitialized and are never read by the finalizer)

@@ -37,15 +37,18 @@ def main():
     # build + validity + plan + simplify, compiled code warm from the run
     # above
     t1 = time.time()
+    phases = {}
     res2 = mbm.run_suite(
         "panda",
         problem_names=list(mbm.STANDARD_SCENARIOS),
         batch_size=700,
         warmup=False,
+        timings=phases,
     )
     e2e_wall = time.time() - t1
     summary["e2e_wall_s"] = round(e2e_wall, 3)
     summary["e2e_problems_per_sec"] = round(700 / e2e_wall, 2)
+    summary["e2e_phases"] = {k: round(v, 3) for k, v in phases.items()}
 
     print(
         json.dumps(

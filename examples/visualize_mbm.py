@@ -71,10 +71,10 @@ def main():
     prefix = args.out or str(
         Path(__file__).parent / f"mbm_{args.robot}_{args.problem}_{args.index}"
     )
-    spec = module.spec
-    built = env.build() if hasattr(env, "build") else env
-    visualize.plot_workspace(
-        spec, None if args.pointcloud else built, paths=[path],
+    # one helper call: problem scene + solved path (+ pointcloud overlay)
+    visualize.render_problem(
+        args.robot, problem, path=path,
+        pointcloud=filtered if args.pointcloud else None,
         out_path=prefix + "_workspace.png",
     )
     visualize.plot_joint_trajectories(path, L, out_path=prefix + "_joints.png")
@@ -82,8 +82,9 @@ def main():
 
     if args.pybullet:
         sim = visualize.PyBulletVisualizer(args.pybullet, gui=True)
-        for obj in problem.get("sphere", []):
-            sim.add_sphere(obj["position"], obj["radius"])
+        sim.add_environment_from_problem_dict(problem)
+        if args.pointcloud:
+            sim.draw_pointcloud(filtered)
         sim.animate(path)
     return 0
 

@@ -220,3 +220,24 @@ def test_mega_attachment_plan_parity():
         samples_per_step=4, connect_segments=2, sample_window=2,
     )
     _plan_parity(spec, envs, starts, goals, masks, settings, B)
+
+
+def test_pc_phase_default_is_exact():
+    """The pc_phase decomposition knob (profiling-only) must default to the
+    full exact phase: phases 0/1 skip the exact point scan by design and
+    report colliding configurations as valid, so the default entry points
+    must disagree with them on such configs (VERDICT r3 weak #7)."""
+    from vamp_mvt_tpu.ops.kernels import fkcc_pallas as fp
+
+    assert fp.PC_PHASE_FULL == 2
+    spec, env, pts = _sphere_pck_env()
+    # configs sitting exactly on wall points: certainly colliding
+    q = pts[:64].copy()
+    env1 = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[None], env)
+    qd = jnp.asarray(q.T[None])
+    full = np.asarray(fp.fkcc_pallas_batched_lanes(spec, env1, qd))[0]
+    gate_only = np.asarray(
+        fp.fkcc_pallas_batched_lanes(spec, env1, qd, pc_phase=0)
+    )[0]
+    assert not full.any(), "default phase must catch on-point collisions"
+    assert gate_only.all(), "phase 0 must skip the exact scan (profiling)"

@@ -116,3 +116,33 @@ def test_simplify_mega_straight_line():
     assert np.array_equal(np.asarray(res.iterations), [0, 0])
     np.testing.assert_allclose(np.asarray(res.path)[:, 0], path[:, 0])
     np.testing.assert_allclose(np.asarray(res.path)[:, 1], path[:, 3])
+
+
+def test_mega_interleave_solves_with_valid_paths():
+    """interleave=True (megakernel-only cadence: grow every step, active
+    connect chains ride along) must still produce collision-free paths and
+    solve the same problems; sample consumption may differ from the
+    alternating cadence."""
+    import dataclasses
+
+    from vamp_mvt_tpu.planning import validate as validate_mod
+
+    spec, envs, starts, goals, masks = _sphere_problem()
+    settings = rrtc.RRTCSettings(
+        range=1.0, max_iterations=2048, max_samples=512, max_path=64,
+        samples_per_step=4, connect_segments=2, sample_window=2,
+        interleave=True,
+    )
+    res = rrtc_mega.plan_batch_mega(spec, envs, starts, goals, masks, settings)
+    solved = np.asarray(res.solved)
+    assert solved.all()
+    env1 = jax.tree_util.tree_map(lambda a: a[0], envs)
+    for i in np.flatnonzero(solved):
+        L = int(np.asarray(res.path_length)[i])
+        assert L >= 2
+        p = np.asarray(res.path[i])[:L]
+        for a, b in zip(p[:-1], p[1:]):
+            v = validate_mod.validate_motion_batch(
+                spec, env1, jnp.asarray(a[None]), jnp.asarray(b[None]), 64
+            )
+            assert bool(np.asarray(v)[0])

@@ -45,29 +45,23 @@ def main():
     jax.block_until_ready(jax.tree_util.tree_leaves(envs) + [starts, goals, masks])
     mark("build_batch (warm npz)")
 
-    vfn = jax.jit(
-        jax.vmap(
-            lambda e, g, m: jnp.any(
-                jax.vmap(lambda q: fkcc.fkcc(spec, e, q[None])[0])(g) & m
-            )
-        )
-    )
     for tag in ("cold", "warm"):
-        vs = mbm.validate_configs(spec, envs, starts)
-        vg = vfn(envs, goals, masks)
-        np.asarray(vs & vg)
-        mark(f"validity ({tag})")
+        np.asarray(mbm._valid_fused(spec, envs, starts, goals, masks))
+        mark(f"validity fused ({tag})")
 
     # the full suite, twice (first = compile warmup, second = honest e2e)
     res = mbm.run_suite(
         "panda", problem_names=list(mbm.STANDARD_SCENARIOS), batch_size=700
     )
     mark("run_suite (with warmup)")
+    phases = {}
     res2 = mbm.run_suite(
         "panda", problem_names=list(mbm.STANDARD_SCENARIOS), batch_size=700,
-        warmup=False,
+        warmup=False, timings=phases,
     )
     mark("run_suite (warm e2e)")
+    for k, v in phases.items():
+        print(f"  phase {k:<12} {v:8.3f}s", flush=True)
     s = res2.summary()
     print(f"plan={s['plan_wall_s']:.3f}s simplify={s['simplify_wall_s']:.3f}s",
           flush=True)

@@ -92,6 +92,20 @@ def main():
           f"valid {out_pr.sum()}/{N}")
     print(f"ratio      : {dt_pc/dt_pr:8.1f}x")
 
+    # per-phase decomposition (profiling-only pc_phase knob; phase != 2
+    # results are intentionally wrong — only the timing matters here)
+    for phase, label in ((0, "bitmap gate only"),
+                         (1, "+ super/chunk bounds"),
+                         (4, "gate + full scan (no bounds)")):
+        r = jax.jit(
+            lambda e, x, p=phase: fp.fkcc_pallas_batched_lanes(
+                spec, e, x, pc_phase=p
+            )[0]
+        )
+        dt, _ = bench(r, env_pc1, qd)
+        print(f"phase {phase} ({label:<28}): {dt*1e3:8.2f} ms  "
+              f"{dt/blocks*1e6:8.1f} us/block")
+
     # exactness vs brute force on a subsample
     sub = np.random.default_rng(1).choice(N, 2048, replace=False)
     from vamp_mvt_tpu.ops.fk import sphere_positions

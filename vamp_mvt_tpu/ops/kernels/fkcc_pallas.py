@@ -38,10 +38,12 @@ from vamp_mvt_tpu.robots.spec import PRISMATIC, REVOLUTE, RobotSpec
 
 BLOCK = 1024  # configs per grid step: one (8, 128) tile per scalar
 
-# debug knob (perf decomposition): 0 = bitmap gate only, 1 = + superchunk
-# bound tests (no point scans), 2 = full exact phase (default/production)
-import os as _os
-_PC_PHASE = int(_os.environ.get("VAMP_PC_PHASE", "2"))
+# pc_phase values (perf decomposition, tools/profile_pc.py ONLY — phases
+# other than 2 skip the exact point scan BY DESIGN and report colliding
+# configurations as valid): 0 = bitmap gate only, 1 = + superchunk/chunk
+# bound tests (no point scans), 4 = per-sphere gate + full chunk scan
+# (no bound tests), 2 = full exact phase (default; the only production value).
+PC_PHASE_FULL = 2
 
 
 def _fk_centers(spec: RobotSpec, q_rows):
@@ -85,7 +87,7 @@ def _broadcast_tile(e):
 
 
 def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
-              pc_refs=None, pc_scratch=None):
+              pc_refs=None, pc_scratch=None, pc_phase: int = PC_PHASE_FULL):
     """Fused FK + collision over one (8, 128) tile of configurations.
 
     q_rows: list of d (8, 128) tiles (configuration dimension-major).
@@ -289,8 +291,13 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
                 thr2 = thr * thr
                 any_maybe = jnp.sum(maybe.astype(jnp.float32)) > 0.0
                 nsc_k = jnp.where(any_maybe, nsc_live, 0)
-                if _PC_PHASE == 0:
-                    return jnp.where(any_maybe & False, vm, vm)
+                if pc_phase == 0:
+                    # live data dependency (cannot change the sign of vm, so
+                    # decisions are unaffected) so the gate being timed is not
+                    # dead-code-eliminated
+                    return jnp.minimum(
+                        vm, jnp.where(any_maybe, jnp.float32(1e30), jnp.float32(5e29))
+                    )
 
                 def scan_one(c, vmc):
                     # exact scan of chunk c (unrolled static lanes: dynamic-
@@ -316,15 +323,19 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
                     rb = thr + br + 1e-4
                     hit = maybe & (bd2 <= rb * rb)
                     any_hit = jnp.sum(hit.astype(jnp.float32)) > 0.0
-                    if _PC_PHASE == 1:
-                        return jnp.where(any_hit, vmc, vmc)
+                    if pc_phase == 1:
+                        # live dep, sign-preserving (see pc_phase == 0)
+                        return jnp.minimum(
+                            vmc,
+                            jnp.where(any_hit, jnp.float32(1e30), jnp.float32(5e29)),
+                        )
                     # zero-trip gating (a fori that runs 0 or 1 times) keeps
                     # Mosaic's control flow shallow vs nested lax.cond
                     return jax.lax.fori_loop(
                         c, jnp.where(any_hit, c + 1, c), scan_one, vmc
                     )
 
-                if _PC_PHASE == 4:
+                if pc_phase == 4:
                     # per-sphere gate only; full chunk scan, no bound tests
                     nch_k = jnp.where(any_maybe, nch_live, 0)
                     return jax.lax.fori_loop(0, nch_k, scan_one, vm)
@@ -400,7 +411,8 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
         return vmin
 
 
-def _make_kernel(spec: RobotSpec, counts: dict[str, int]):
+def _make_kernel(spec: RobotSpec, counts: dict[str, int],
+                 pc_phase: int = PC_PHASE_FULL):
     def kernel(sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref, bm_ref, ch_ref,
                pt_ref, su_ref, pcm_ref, stab_ref, att_ref, hfm_ref, hfd_ref,
                q_ref, out_ref, pc_scr):
@@ -411,15 +423,16 @@ def _make_kernel(spec: RobotSpec, counts: dict[str, int]):
             pc_refs=(bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref,
                      att_ref, hfm_ref, hfd_ref),
             pc_scratch=pc_scr,
+            pc_phase=pc_phase,
         )
         out_ref[0, 0] = (vmin >= 0.0).astype(jnp.int8)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 16, 17))
+@functools.partial(jax.jit, static_argnums=(0, 16, 17, 18))
 def _run(spec, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab, att,
-         hfm, hfd, qg, flags, interpret=False):
+         hfm, hfd, qg, flags, interpret=False, pc_phase=PC_PHASE_FULL):
     """Batched launch: env leaves (B, n, f), qg (B, d, G, 8, 128).
 
     Grid is (B*G,); each step processes one (8,128)-tile block of 1024
@@ -441,7 +454,7 @@ def _run(spec, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab, att,
         "heightfields": hfm.shape[-2] if has_hf else 0,
         "hf_rows": (hfd.shape[-2] // hfm.shape[-2]) if has_hf else 0,
     }
-    kernel = _make_kernel(spec, counts)
+    kernel = _make_kernel(spec, counts, pc_phase)
     B, d, G = qg.shape[0], qg.shape[1], qg.shape[2]
 
     def smem_spec(n, f):
@@ -626,7 +639,8 @@ def fkcc_pallas_batched(
 
 
 def fkcc_pallas_batched_lanes(
-    spec: RobotSpec, envs: Environment, q_d: jnp.ndarray
+    spec: RobotSpec, envs: Environment, q_d: jnp.ndarray,
+    pc_phase: int = PC_PHASE_FULL,
 ) -> jnp.ndarray:
     """Lanes-layout entry: q_d (B, d, N) -> (B, N) bool validity.
 
@@ -634,6 +648,11 @@ def fkcc_pallas_batched_lanes(
     ~4x the kernel cost at large N): callers that can build configuration
     blocks dimension-major hand them over directly; the (B, d, N) ->
     (B, d, G, 8, 128) reshape is layout-preserving.
+
+    pc_phase != PC_PHASE_FULL is a profiling-only decomposition knob
+    (tools/profile_pc.py) whose results are intentionally wrong for
+    colliding-with-pointcloud configurations; no planner entry point
+    exposes it.
     """
     B, d, n = q_d.shape
     G = max((n + BLOCK - 1) // BLOCK, 1)
@@ -644,7 +663,7 @@ def fkcc_pallas_batched_lanes(
     out = _run(
         spec, envs.spheres, envs.capsules, envs.z_capsules, envs.cuboids,
         envs.z_cuboids, bm, ch, pt, su, pcm, stab, att, hfm, hfd, qg, flags,
-        jax.default_backend() == "cpu",
+        jax.default_backend() == "cpu", pc_phase,
     )
     return out.reshape(B, G * BLOCK)[:, :n]
 

@@ -46,6 +46,13 @@ class AORRTCSettings:
     anytime: bool = False
     max_iterations: int = 32768
     max_internal_iterations: int = 4096
+    # solve_batch early exit: stop the device-wide refinement loop after this
+    # many consecutive rounds with no improvement anywhere in the batch
+    # (relative cost drop < stale_rel_tol).  0 disables (reference-faithful
+    # fixed budget; the reference's per-problem loop has no such stop either,
+    # aorrtc.hh:431-487, but a batch pays every round for ALL problems).
+    stale_rounds: int = 2
+    stale_rel_tol: float = 1e-3
 
 
 def solve(
@@ -276,6 +283,7 @@ def solve_batch(
     rounds = max((s.max_iterations - int(s.rrtc.max_iterations))
                  // s.max_internal_iterations, 0)
     hist = [np.asarray(best_cost)]
+    stale = 0
     for _ in range(rounds):
         mc = jnp.where(jnp.isfinite(best_cost), best_cost, jnp.float32(1e30))
         if use_phs:
@@ -288,11 +296,21 @@ def solve_batch(
         offsets = offsets + r.sample_count
         sr = simp_b(envs, r.path, r.path_length)
         improved = r.solved & (sr.cost < best_cost)
+        prev_cost = best_cost
         best_path = jnp.where(improved[:, None, None], sr.path, best_path)
         best_len = jnp.where(improved, sr.path_length, best_len)
         best_cost = jnp.where(improved, sr.cost, best_cost)
         if history:
             hist.append(np.asarray(best_cost))
+        # early exit: no problem's cost moved meaningfully for stale_rounds
+        if s.stale_rounds:
+            pc, bc2 = np.asarray(prev_cost), np.asarray(best_cost)
+            moved = np.any(
+                (pc - bc2) > s.stale_rel_tol * np.where(np.isfinite(pc), pc, 0.0)
+            )
+            stale = 0 if moved else stale + 1
+            if stale >= s.stale_rounds:
+                break
 
     out = (
         simplify_mod.SimplifyResult(

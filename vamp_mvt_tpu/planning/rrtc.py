@@ -70,6 +70,13 @@ class RRTCSettings:
     # "halton" (reference default) or "threefry" (counter-based pseudo-random,
     # the TPU counterpart of the reference's x86-only XORShift sampler)
     sampler: str = "halton"
+    # megakernel-only cadence: run the grow part every step and advance an
+    # active connect chain in the SAME kernel step (instead of alternating
+    # grow/connect steps).  Halves the while-loop trip count when connect
+    # steps are ~half of all steps; each step's fixed costs (sampling, NN,
+    # scalar bookkeeping) are paid once instead of twice.  Ignored by the
+    # lockstep XLA planner (planning/rrtc.py keeps reference cadence).
+    interleave: bool = False
 
 
 class RRTCResult(NamedTuple):

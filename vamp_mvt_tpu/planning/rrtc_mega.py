@@ -157,6 +157,7 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
     spans = [float(h - l) for l, h in zip(spec.limits_low, spec.limits_high)]
     dyn = bool(s.dynamic_domain)
     balance = bool(s.balance)
+    INTER = bool(getattr(s, "interleave", False))
     lin, lrad = dp, dp + 1  # meta lanes: in_start flag, dynamic-domain radius
     def kernel(ctl_ref, nodes0_ref, sph_ref, cap_ref, zcap_ref, cub_ref,
                zcub_ref, bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref,
@@ -225,8 +226,14 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
              connect, c_tip, c_rem, c_other, done, junc_a, junc_b, a_j_start,
              c_n, c_len, n_gsteps, n_csteps) = c
             grow = connect == 0
+            # interleaved cadence: the grow part runs EVERY step and the
+            # connect part rides along whenever a chain is active, so the
+            # per-step fixed costs are paid once instead of alternating
+            do_grow = jnp.full((), True) if INTER else grow
+            do_conn = connect > 0
 
-            # --- tree balancing (rrtc.hh:100-108), grow mode only
+            # --- tree balancing (rrtc.hh:100-108), chain-inactive steps only
+            # (a mid-chain swap would flip the tree its inserts belong to)
             asize = jnp.where(a_is_start > 0, size_start, size_goal).astype(jnp.float32)
             bsize = jnp.where(a_is_start > 0, size_goal, size_start).astype(jnp.float32)
             ratio = jnp.abs(asize - bsize) / asize
@@ -280,7 +287,7 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                     jnp.where(better, nrad_c, br),
                 )
 
-            nch = jnp.where(grow, (n_nodes + CH - 1) // CH, 0)
+            nch = jnp.where(do_grow, (n_nodes + CH - 1) // CH, 0)
             bd_a, nearest_row, nrad_row = jax.lax.fori_loop(
                 0, nch,
                 nn_a_chunk,
@@ -357,7 +364,8 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             # connect tip (always a real tree node) with a zero vector so
             # their FK lands on already-gated positions.
             live_row = (is_grow_row & (row_iota_col < n_acc)) | (
-                (~is_grow_row) & ((row_iota_col - C0) < jnp.minimum(C, c_rem))
+                (~is_grow_row) & (row_iota_col >= C0)
+                & ((row_iota_col - C0) < jnp.minimum(C, c_rem))
             )
             en = jnp.where(live_row, en, tip_row)
             ev = jnp.where(live_row, ev, 0.0)
@@ -374,7 +382,7 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             for t in range(NT):
                 # tiles are mode-pure (connect rows start at C0, a tile
                 # boundary): evaluate only the active mode's tiles
-                t_active = grow if (t * EPT) < K else ~grow
+                t_active = do_grow if (t * EPT) < K else do_conn
 
                 @pl.when(t_active)
                 def _(t=t):
@@ -447,7 +455,36 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                 g_e = (e - te * EPT) // 8
                 return cnt_scr[s_e, te * R + g_e] == float(P)
 
-            growi = grow.astype(jnp.int32)
+            # connect-prefix inserts FIRST (segments are edges C0..C0+C-1) so
+            # chain node positions stay contiguous from n_nodes even when the
+            # interleaved grow part inserts in the same step
+            attempted_c = jnp.minimum(C, c_rem)
+            c_ins = jnp.int32(0)
+            c_prefix_open = jnp.int32(1)
+            prefix = jnp.int32(0)
+            for ci in range(C):
+                seg_active = do_conn & (ci < attempted_c)
+                ok_c = edge_ok(C0 + ci)
+                advancing = seg_active & (c_prefix_open > 0) & ok_c
+                prefix = prefix + advancing.astype(jnp.int32)
+                c_prefix_open = jnp.where(
+                    seg_active & ((c_prefix_open == 0) | (~ok_c)), 0, c_prefix_open
+                )
+                pos = n_nodes + c_ins
+                insc = advancing & (pos < M)
+
+                @pl.when(insc)
+                def _(ci=ci, pos=pos):
+                    seg128 = tip128 + inc128 * jnp.float32(ci + 1)
+                    buf_out[pl.ds(pos, 1), :] = jnp.where(
+                        lane128 == lin, af,
+                        jnp.where(lane128 == lrad, _BIG, seg128),
+                    )
+                    par_out[0, 0, pos] = jnp.where(
+                        ci == 0, c_tip, pos - 1
+                    )
+
+                c_ins = c_ins + insc.astype(jnp.int32)
 
             # grow inserts + dd updates + connect-entry candidate tracking
             n_ins = jnp.int32(0)
@@ -458,9 +495,9 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             any_ins = jnp.int32(0)
             new128 = jnp.pad(new_cfg, ((0, 0), (0, 128 - dp)))
             for k in range(K):
-                attempted = grow & (k < n_acc)
+                attempted = do_grow & (k < n_acc)
                 ok_k = edge_ok(k)
-                pos = n_nodes + n_ins
+                pos = n_nodes + c_ins + n_ins
                 ins = attempted & ok_k & (pos < M)
 
                 @pl.when(ins)
@@ -501,42 +538,22 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                 any_ins = jnp.where(ins, 1, any_ins)
                 n_ins = n_ins + ins.astype(jnp.int32)
 
-            # connect-prefix inserts (segments are edges K..K+C-1)
-            attempted_c = jnp.minimum(C, c_rem)
-            c_ins = jnp.int32(0)
-            c_prefix_open = jnp.int32(1)
-            prefix = jnp.int32(0)
-            for ci in range(C):
-                seg_active = connect & (ci < attempted_c)
-                ok_c = edge_ok(C0 + ci)
-                advancing = seg_active & (c_prefix_open > 0) & ok_c
-                prefix = prefix + advancing.astype(jnp.int32)
-                c_prefix_open = jnp.where(
-                    seg_active & ((c_prefix_open == 0) | (~ok_c)), 0, c_prefix_open
-                )
-                pos = n_nodes + c_ins
-                insc = advancing & (pos < M)
-
-                @pl.when(insc)
-                def _(ci=ci, pos=pos):
-                    seg128 = tip128 + inc128 * jnp.float32(ci + 1)
-                    buf_out[pl.ds(pos, 1), :] = jnp.where(
-                        lane128 == lin, af,
-                        jnp.where(lane128 == lrad, _BIG, seg128),
-                    )
-                    par_out[0, 0, pos] = jnp.where(
-                        ci == 0, c_tip, pos - 1
-                    )
-
-                c_ins = c_ins + insc.astype(jnp.int32)
-
-            n_ins_total = jnp.where(grow, n_ins, c_ins)
+            n_ins_total = n_ins + c_ins  # modes are exclusive unless INTER
             n_nodes_new = n_nodes + n_ins_total
             size_start_new = size_start + jnp.where(a_is > 0, n_ins_total, 0)
             size_goal_new = size_goal + jnp.where(a_is > 0, 0, n_ins_total)
 
             # --- connect state machine (mirrors rrtc.py step tail)
-            enter = grow & (any_ins > 0)
+            fail_chain = do_conn & (prefix < attempted_c)
+            chain_ok = do_conn & (~fail_chain) & (c_ins == prefix)
+            rem_chain = c_rem - prefix
+            chain_joined = chain_ok & (rem_chain == 0)
+            chain_still = chain_ok & (rem_chain > 0)
+            # a new chain may only start once the previous one has resolved
+            # (failed, or absent); under INTER both parts ran this step
+            enter = (
+                do_grow & (any_ins > 0) & (~chain_still) & (~chain_joined)
+            )
             safe_od = jnp.minimum(best_od, jnp.float32(1e12))
             n_ext = jnp.int32(jnp.ceil(safe_od / rng))
             n_ext_f = jnp.maximum(n_ext.astype(jnp.float32), 1.0)
@@ -546,23 +563,18 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             inc_new = (other_cfg - best_tip) / n_ext_f
             inc_len_new = safe_od / n_ext_f
 
-            fail_chain = connect & (prefix < attempted_c)
-            chain_ok = connect & (fail_chain == 0) & (c_ins == prefix)
             tip_after = jnp.where(
                 enter,
                 best_pos,
                 jnp.where(chain_ok & (prefix > 0), n_nodes + prefix - 1, c_tip),
             )
             remaining_after = jnp.where(
-                enter, n_ext, jnp.where(connect, c_rem - prefix, 0)
+                enter, n_ext, jnp.where(do_conn, rem_chain, 0)
             )
 
-            joined = (
-                ((enter & (n_ext == 0)) | (chain_ok & (remaining_after == 0)))
-                & (done == 0)
-            )
+            joined = ((enter & (n_ext == 0)) | chain_joined) & (done == 0)
             connect_next = (
-                ((enter & (n_ext > 0)) | (chain_ok & (remaining_after > 0)))
+                ((enter & (n_ext > 0)) | chain_still)
                 & (~joined)
                 & (n_nodes_new < M)
             )
@@ -583,8 +595,8 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             )
 
             return (
-                iters + jnp.where(grow, consumed, 0),
-                sample_idx + jnp.where(grow, consumed, 0),
+                iters + jnp.where(do_grow, consumed, 0),
+                sample_idx + jnp.where(do_grow, consumed, 0),
                 n_nodes_new,
                 size_start_new,
                 size_goal_new,
@@ -599,8 +611,8 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                 a_j_new,
                 c_n_new,
                 c_len_new,
-                n_gsteps + grow.astype(jnp.int32),
-                n_csteps + 1 - grow.astype(jnp.int32),
+                n_gsteps + do_grow.astype(jnp.int32),
+                n_csteps + do_conn.astype(jnp.int32),
             )
 
         final = jax.lax.while_loop(cond, body, init)

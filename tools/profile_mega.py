@@ -54,10 +54,10 @@ def main():
         lambda e, s, g, m: rrtc_mega.plan_batch_mega(spec, e, s, g, m, settings)
     )
     res = run(envs, starts, goals, masks)
-    jax.block_until_ready(res)
+    np.asarray(res.solved)  # force full completion through the tunnel
     t0 = time.perf_counter()
     res = run(envs, starts, goals, masks)
-    jax.block_until_ready(res)
+    np.asarray(res.solved)
     dt = time.perf_counter() - t0
 
     # re-run _run_mega for the scalar block (cheap: same compiled kernel)
@@ -94,17 +94,28 @@ def main():
     ctl = ctl.at[:, 0, 1].set(any_direct.astype(jnp.int32))
     ctl = ctl.at[:, 0, 2].set(jnp.sum(masks.astype(jnp.int32), axis=1))
     bm, ch, pt, su, pcm, stab, att, hfm, hfd, flags = _pc_arrays(spec, envs)
-    _, _, scal = rrtc_mega._run_mega(
-        spec, settings, ctl, nodes0, envs.spheres, envs.capsules,
-        envs.z_capsules, envs.cuboids, envs.z_cuboids, bm, ch, pt, su, pcm,
-        stab, att, hfm, hfd, flags, False,
-    )
+
+    def kernel_only():
+        return rrtc_mega._run_mega(
+            spec, settings, ctl, nodes0, envs.spheres, envs.capsules,
+            envs.z_capsules, envs.cuboids, envs.z_cuboids, bm, ch, pt, su,
+            pcm, stab, att, hfm, hfd, flags, False,
+        )
+
+    _, _, scal = kernel_only()
+    np.asarray(scal[0, 0, 0])
+    t0 = time.perf_counter()
+    _, _, scal = kernel_only()
+    np.asarray(scal[0, 0, 0])
+    dt_kernel = time.perf_counter() - t0
     sc = np.asarray(scal)[:, 0]
     solved = sc[:, 0] > 0
     gsteps, csteps = sc[:, 9], sc[:, 10]
     total = gsteps + csteps
     print(f"batch {len(problems)}: wall {dt*1e3:.1f} ms "
-          f"({dt/len(problems)*1e6:.0f} us/problem)")
+          f"({dt/len(problems)*1e6:.0f} us/problem)  "
+          f"kernel-only {dt_kernel*1e3:.1f} ms "
+          f"({dt_kernel/len(problems)*1e6:.0f} us/problem)")
     print(f"solved in-kernel: {int(solved.sum())}  "
           f"direct: {int(np.asarray(any_direct).sum())}")
     for name, v in (("grow steps", gsteps), ("connect steps", csteps),
@@ -113,8 +124,8 @@ def main():
         q = np.percentile(v, [50, 90, 99])
         print(f"  {name:<14} p50 {q[0]:7.0f}  p90 {q[1]:7.0f}  "
               f"p99 {q[2]:7.0f}  mean {v.mean():8.1f}  sum {v.sum():9.0f}")
-    print(f"per-step wall: {dt/max(total.sum(),1)*1e9:.0f} ns "
-          f"(kernel serializes problems per core)")
+    print(f"per-step wall: {dt_kernel/max(total.sum(),1)*1e9:.0f} ns "
+          f"(kernel-only; grid serializes problems per core)")
     print(f"connect share of steps: {csteps.sum()/max(total.sum(),1)*100:.1f}%")
 
 

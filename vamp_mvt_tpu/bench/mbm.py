@@ -518,7 +518,19 @@ def _scatter_merge(base_tree, new_tree, idx):
 
 
 def _tree_concat(results):
-    return jax.tree_util.tree_map(lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *results)
+    """Concatenate per-batch result trees on the HOST, overlapping the
+    device->host transfers: kicking off every leaf's copy before the first
+    np.asarray blocks turns N serial tunnel round-trips into one pipelined
+    drain (the 'gather' phase was ~30% of warm e2e wall before this)."""
+    for r in results:
+        for leaf in jax.tree_util.tree_leaves(r):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+    if len(results) == 1:
+        return jax.tree_util.tree_map(np.asarray, results[0])
+    return jax.tree_util.tree_map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *results
+    )
 
 
 def run_suite(
@@ -791,7 +803,7 @@ def run_suite_pointcloud(
         settings = rrtc.RRTCSettings(
             range=registry.RRT_RANGES.get(robot, 1.0),
             max_iterations=4096,
-            max_samples=512,
+            max_samples=2048,
             max_path=96,
             samples_per_step=16,
             connect_segments=8,

@@ -39,8 +39,15 @@ SS = 8               # chunks per superchunk (two-level bound hierarchy)
 class PCKernelData(NamedTuple):
     """Pytree of dense arrays consumed by the Pallas fkcc kernel."""
 
-    bitmap: jnp.ndarray   # (MAX_CLASSES * RROWS, 128) int32; class c rows
-                          #   [c*RROWS, (c+1)*RROWS): word (vx*W+vy), bit vz
+    bitmap: jnp.ndarray   # (2 * MAX_CLASSES * RROWS, 128) int32; class c
+                          #   "maybe" rows [c*RROWS, (c+1)*RROWS): word
+                          #   (vx*W+vy), bit vz = 1 iff a sphere of that class
+                          #   centered in the voxel MIGHT hit the cloud.
+                          #   Rows [(MAX_CLASSES+c)*RROWS, ...): certain-HIT
+                          #   bits — 1 iff any center in the voxel DOES hit
+                          #   (dist + half_diag <= class_r + point_r), letting
+                          #   the kernel decide deep-colliding lanes without
+                          #   the exact scan (sign-exact; see tile_vmin).
     chunks: jnp.ndarray   # (NCH, 8) f32: bound cx, cy, cz, r, pad...
     points: jnp.ndarray   # (NCH, 3*CS) f32: x[CS], y[CS], z[CS]
     supers: jnp.ndarray   # (NSC, 8) f32: bound over SS consecutive chunks
@@ -86,13 +93,16 @@ def build_pc_kernel(
     half_diag = cell * np.sqrt(3.0) / 2.0
 
     RROWS = (W * W + 127) // 128
-    words = np.zeros((MAX_CLASSES, RROWS * 128), np.uint32)
+    words = np.zeros((2 * MAX_CLASSES, RROWS * 128), np.uint32)
 
     if len(points):
         # exact point-to-voxel-center distances (KDTree): a sphere of class
         # radius rho centered anywhere in voxel v is collision-free iff no
         # point lies within rho + point_radius + half_diag of v's center, so
         # bit=0 voxels are certainly free with only a half-diagonal margin.
+        # Dually, if some point lies within rho + point_radius - half_diag,
+        # EVERY center in v collides — the certain-hit rows decide those
+        # lanes without the exact scan.
         from scipy.spatial import cKDTree
 
         ax = wmin[0] + (np.arange(W, dtype=np.float64) + 0.5) * cell
@@ -111,6 +121,12 @@ def build_pc_kernel(
                 marked.astype(np.uint32) << zshift[None, None, :], axis=2
             )
             words[c, : W * W] = wbits.reshape(-1)
+            Rhit = rho + point_radius - half_diag
+            hit = dist <= Rhit
+            hbits = np.bitwise_or.reduce(
+                hit.astype(np.uint32) << zshift[None, None, :], axis=2
+            )
+            words[MAX_CLASSES + c, : W * W] = hbits.reshape(-1)
 
     # point chunks: sort by voxel key, group 8, compute bounding spheres
     if len(points):
@@ -176,7 +192,7 @@ def build_pc_kernel(
     # stack time (per-array device transfers through the axon tunnel cost
     # milliseconds each and would dominate "build time")
     return PCKernelData(
-        bitmap=words.astype(np.int32).reshape(MAX_CLASSES * RROWS, 128),
+        bitmap=words.astype(np.int32).reshape(2 * MAX_CLASSES * RROWS, 128),
         chunks=chunks,
         points=pts24,
         supers=supers,

@@ -247,7 +247,7 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
 
         # --- pointcloud: per-class certain-free bitmap + exact chunk scan ---
         if counts.get("pc_chunks", 0):
-            from vamp_mvt_tpu.collision.pc_kernel import CS
+            from vamp_mvt_tpu.collision.pc_kernel import CS, MAX_CLASSES
 
             bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref = pc_refs[:6]
             RROWS = counts["pc_rrows"]
@@ -259,6 +259,8 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
             pr = pcm_ref[0, 0, 5]
             nch_live = jnp.int32(pcm_ref[0, 0, 6])
             nsc_live = jnp.int32(pcm_ref[0, 0, 7])
+
+            HROW0 = MAX_CLASSES * RROWS  # start of the certain-hit row half
 
             def sphere_body(k, vm):
                 cxk = pc_scratch[pl.ds(k * 24, 8), :]
@@ -278,14 +280,31 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
                 lanei = widx % 128
                 rowi = widx // 128
                 word = jnp.zeros((8, 128), jnp.int32)
+                hword = jnp.zeros((8, 128), jnp.int32)
                 for rr in range(RROWS):
                     rowv = jnp.broadcast_to(
                         bm_ref[pl.ds(cls * RROWS + rr, 1), :], (8, 128)
                     )
                     g = jnp.take_along_axis(rowv, lanei, axis=1)
                     word = jnp.where(rowi == rr, g, word)
-                bit = (word >> jnp.where(ing, vz, 0)) & 1
-                maybe = (~ing) | (bit == 1)
+                    hrowv = jnp.broadcast_to(
+                        bm_ref[pl.ds(HROW0 + cls * RROWS + rr, 1), :], (8, 128)
+                    )
+                    hg = jnp.take_along_axis(hrowv, lanei, axis=1)
+                    hword = jnp.where(rowi == rr, hg, hword)
+                zsh = jnp.where(ing, vz, 0)
+                bit = (word >> zsh) & 1
+                # certain-hit lanes are decided right here (any center in the
+                # voxel collides); lanes whose vm is already negative are
+                # decided too.  Neither needs the exact scan — the pointcloud
+                # contribution is SIGN-exact, not value-exact (every consumer
+                # thresholds vmin >= 0).
+                chit = ing & (((hword >> zsh) & 1) == 1)
+                vm = jnp.minimum(
+                    vm, jnp.where(chit, jnp.float32(-1.0), jnp.float32(jnp.inf))
+                )
+                alive = vm >= 0.0
+                maybe = ((~ing) | (bit == 1)) & alive
 
                 thr = rk + pr
                 thr2 = thr * thr
@@ -449,7 +468,7 @@ def _run(spec, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab, att,
         "cuboids": cub.shape[-2],
         "z_cuboids": zcub.shape[-2],
         "pc_chunks": ch.shape[-2] if has_pc else 0,
-        "pc_rrows": (bm.shape[-2] // MAX_CLASSES) if has_pc else 0,
+        "pc_rrows": (bm.shape[-2] // (2 * MAX_CLASSES)) if has_pc else 0,
         "attach": att.shape[-2] if has_att else 0,
         "heightfields": hfm.shape[-2] if has_hf else 0,
         "hf_rows": (hfd.shape[-2] // hfm.shape[-2]) if has_hf else 0,

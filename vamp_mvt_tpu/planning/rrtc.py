@@ -77,6 +77,12 @@ class RRTCSettings:
     # scalar bookkeeping) are paid once instead of twice.  Ignored by the
     # lockstep XLA planner (planning/rrtc.py keeps reference cadence).
     interleave: bool = False
+    # megakernel step-cost decomposition (tools/profile_step.py ONLY): a
+    # bitmask of step components to keep — 1 sampling/window, 2 NN scans +
+    # config gather, 4 FK+CC tiles, 8 scalar bookkeeping, 16 solve detection.
+    # -1 (default) = everything = the production kernel; any other value
+    # produces a kernel whose RESULTS ARE MEANINGLESS (timing only).
+    profile_mask: int = -1
 
 
 class RRTCResult(NamedTuple):

@@ -158,11 +158,18 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
     dyn = bool(s.dynamic_domain)
     balance = bool(s.balance)
     INTER = bool(getattr(s, "interleave", False))
+    # profiling-only step decomposition (tools/profile_step.py): disabled
+    # parts are replaced by trace-time placeholder constants, so any mask
+    # other than -1 yields meaningless planner RESULTS (timing only)
+    PM = int(getattr(s, "profile_mask", -1))
+    P_SAMP, P_NN, P_FKCC, P_BOOK, P_SOLVE = (
+        bool(PM & 1), bool(PM & 2), bool(PM & 4), bool(PM & 8), bool(PM & 16)
+    )
     lin, lrad = dp, dp + 1  # meta lanes: in_start flag, dynamic-domain radius
     def kernel(ctl_ref, nodes0_ref, sph_ref, cap_ref, zcap_ref, cub_ref,
                zcub_ref, bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref,
                att_ref, hfm_ref, hfd_ref, cfg_hbm, par_out, scal_out,
-               buf_out, cvec_scr, cnt_scr, escr, rscr, ncfg_scr, pc_scr,
+               buf_out, cvec_scr, cnt_scr, escr, rscr, pc_scr,
                dma_sem):
         # buf_out row layout: lanes 0..d-1 = configuration, lane lin =
         # in_start flag, lane lrad = dynamic-domain radius, rest zero.
@@ -175,16 +182,20 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
 
         # ------------------------- initialization -------------------------
         cvec_scr[:, :] = jnp.zeros((8, 128), jnp.float32)
+        if not P_FKCC:
+            cnt_scr[:, :] = jnp.full((8, 128), float(P), jnp.float32)
+        # the one-hot nearest-config matmul contracts over whole node-buffer
+        # chunks: uninitialized rows would poison it (0 * NaN = NaN), unlike
+        # the where-masked NN scans, so zero the buffer once per problem
+        buf_out[:, :] = jnp.zeros((M, 128), jnp.float32)
         # node 0 = start (start tree), nodes 1..G = goals (goal tree);
         # nodes0 rows arrive with LIN/LRAD lanes preset host-side
         for i in range(1 + G):
             buf_out[i : i + 1, :] = nodes0_ref[0, i : i + 1, :]
-
-        def init_parents(i, _):
-            par_out[0, 0, i] = jnp.where(i <= G, i, 0)
-            return 0
-
-        jax.lax.fori_loop(0, M, init_parents, 0)
+            # only the root rows need parent init: every other row that the
+            # path walker can reach is written at insert time (rows past
+            # n_nodes are never read by the finalizer)
+            par_out[0, 0, i] = jnp.int32(i)
 
         n_goals = ctl_ref[0, 0, 2]
         any_direct = ctl_ref[0, 0, 1]
@@ -242,13 +253,18 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             af = a_is.astype(jnp.float32)
 
             # --- KW Halton samples, scaled to joint limits: SAMP (KW->128, dp)
-            idx_col = (
-                jax.lax.broadcasted_iota(jnp.int32, (KW, 1), 0) + sample_idx
-            )
-            ucols = _halton_cols(spec, idx_col, KW)
-            scols = [u * spans[j] + lows[j] for j, u in enumerate(ucols)]
-            scols += [jnp.zeros((KW, 1), jnp.float32)] * (dp - d)
-            samp = jnp.concatenate(scols, axis=1)  # (KW, dp)
+            if P_SAMP:
+                idx_col = (
+                    jax.lax.broadcasted_iota(jnp.int32, (KW, 1), 0) + sample_idx
+                )
+                ucols = _halton_cols(spec, idx_col, KW)
+                scols = [u * spans[j] + lows[j] for j, u in enumerate(ucols)]
+                scols += [jnp.zeros((KW, 1), jnp.float32)] * (dp - d)
+                samp = jnp.concatenate(scols, axis=1)  # (KW, dp)
+            else:
+                samp = jnp.zeros((KW, dp), jnp.float32) + (
+                    sample_idx.astype(jnp.float32) * 1e-8
+                )
 
             # --- NN of samples against tree_a, chunked over the live tree
             # prefix (ceil(n_nodes/CH) chunks instead of the full M-row
@@ -288,15 +304,20 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                 )
 
             nch = jnp.where(do_grow, (n_nodes + CH - 1) // CH, 0)
-            bd_a, nearest_row, nrad_row = jax.lax.fori_loop(
-                0, nch,
-                nn_a_chunk,
-                (
-                    jnp.full((1, KW), _BIG, jnp.float32),
-                    jnp.zeros((1, KW), jnp.float32),
-                    jnp.zeros((1, KW), jnp.float32),
-                ),
-            )
+            if P_NN:
+                bd_a, nearest_row, nrad_row = jax.lax.fori_loop(
+                    0, nch,
+                    nn_a_chunk,
+                    (
+                        jnp.full((1, KW), _BIG, jnp.float32),
+                        jnp.zeros((1, KW), jnp.float32),
+                        jnp.zeros((1, KW), jnp.float32),
+                    ),
+                )
+            else:
+                bd_a = jnp.full((1, KW), 0.25, jnp.float32) + samp[0, 0] * 0.0
+                nearest_row = jnp.zeros((1, KW), jnp.float32)
+                nrad_row = jnp.full((1, KW), _BIG, jnp.float32)
             ndist_row = jnp.sqrt(bd_a)
 
             # --- dynamic-domain window prefilter (rrtc.hh:123-126)
@@ -328,15 +349,32 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             near_idx_col = _dotx(sel, _row_to_col(pad(nearest_row), 128))                                                  # (Erow, 1)
             ndist_col = _dotx(sel, _row_to_col(ndist128, 128))
 
-            # gather the K nearest-node configs row by row (dynamic-sublane
-            # reads; rows K..Erow-1 stay stale but every consumer masks them
-            # with is_grow_row)
+            # gather the K nearest-node configs with ONE chunked one-hot MXU
+            # matmul over the live tree prefix (K serial dynamic-sublane row
+            # reads each pay fixed VMEM-access latency; the matmul reads the
+            # same chunk rows the NN scan just touched).  Rows K..Erow-1 hold
+            # whatever their (unchosen) sel row selects — every consumer
+            # masks them with is_grow_row/live_row.
             escr[:, 0:1] = near_idx_col
-            for k in range(K):
-                idx_k = jnp.int32(escr[k, 0])
-                nrow = buf_out[pl.ds(idx_k, 1), :]
-                ncfg_scr[k : k + 1, 0:dp] = nrow[:, 0:dp]
-            near_cfg = ncfg_scr[0:Erow, 0:dp]
+
+            def gather_chunk(cidx, acc):
+                base = cidx * CH
+                rows = buf_out[pl.ds(base, CH), :]            # (CH, 128)
+                gidx = (
+                    jax.lax.broadcasted_iota(jnp.int32, (Erow, CH), 1) + base
+                ).astype(jnp.float32)
+                oh = (gidx == jnp.broadcast_to(near_idx_col, (Erow, CH))).astype(
+                    jnp.float32
+                )
+                return acc + _dotx(oh, rows)
+
+            if P_NN:
+                near_all = jax.lax.fori_loop(
+                    0, nch, gather_chunk, jnp.zeros((Erow, 128), jnp.float32)
+                )
+            else:
+                near_all = jnp.zeros((Erow, 128), jnp.float32) + near_idx_col * 0.0
+            near_cfg = near_all[:, 0:dp]
 
             reach = ndist_col < rng
             scale = jnp.where(reach, 1.0, rng / jnp.maximum(ndist_col, 1e-12))
@@ -383,6 +421,8 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                 # tiles are mode-pure (connect rows start at C0, a tile
                 # boundary): evaluate only the active mode's tiles
                 t_active = do_grow if (t * EPT) < K else do_conn
+                if not P_FKCC:
+                    t_active = t_active & False
 
                 @pl.when(t_active)
                 def _(t=t):
@@ -433,14 +473,18 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                     jnp.where(better, near_c.astype(jnp.float32), bi),
                 )
 
-            bd_b, oidx_row = jax.lax.fori_loop(
-                0, nch,
-                nn_b_chunk,
-                (
-                    jnp.full((1, Erow), _BIG, jnp.float32),
-                    jnp.zeros((1, Erow), jnp.float32),
-                ),
-            )
+            if P_NN:
+                bd_b, oidx_row = jax.lax.fori_loop(
+                    0, nch,
+                    nn_b_chunk,
+                    (
+                        jnp.full((1, Erow), _BIG, jnp.float32),
+                        jnp.zeros((1, Erow), jnp.float32),
+                    ),
+                )
+            else:
+                bd_b = jnp.full((1, Erow), 1.0, jnp.float32) + new_cfg[0, 0] * 0.0
+                oidx_row = jnp.zeros((1, Erow), jnp.float32)
             od_row = jnp.sqrt(bd_b)
 
             # --- stage per-edge scalars for the bookkeeping loop
@@ -459,6 +503,8 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             # chain node positions stay contiguous from n_nodes even when the
             # interleaved grow part inserts in the same step
             attempted_c = jnp.minimum(C, c_rem)
+            if not P_BOOK:
+                attempted_c = attempted_c * 0
             c_ins = jnp.int32(0)
             c_prefix_open = jnp.int32(1)
             prefix = jnp.int32(0)
@@ -496,6 +542,8 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             new128 = jnp.pad(new_cfg, ((0, 0), (0, 128 - dp)))
             for k in range(K):
                 attempted = do_grow & (k < n_acc)
+                if not P_BOOK:
+                    attempted = attempted & False
                 ok_k = edge_ok(k)
                 pos = n_nodes + c_ins + n_ins
                 ins = attempted & ok_k & (pos < M)
@@ -573,6 +621,8 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             )
 
             joined = ((enter & (n_ext == 0)) | chain_joined) & (done == 0)
+            if not P_SOLVE:
+                joined = joined & False
             connect_next = (
                 ((enter & (n_ext > 0)) | chain_still)
                 & (~joined)
@@ -667,7 +717,7 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
         "cuboids": cub.shape[-2],
         "z_cuboids": zcub.shape[-2],
         "pc_chunks": ch.shape[-2] if has_pc else 0,
-        "pc_rrows": (bm.shape[-2] // MAX_CLASSES) if has_pc else 0,
+        "pc_rrows": (bm.shape[-2] // (2 * MAX_CLASSES)) if has_pc else 0,
         "attach": att.shape[-2] if has_att else 0,
         "heightfields": hfm.shape[-2] if has_hf else 0,
         "hf_rows": (hfd.shape[-2] // hfm.shape[-2]) if has_hf else 0,
@@ -725,7 +775,6 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
             pltpu.VMEM((8, 128), jnp.float32),    # cnt: per-edge valid counts
             pltpu.VMEM((cfg["Erow"], 128), jnp.float32),  # escr: per-edge scalars
             pltpu.VMEM((8, 128), jnp.float32),    # rscr: per-edge rows (oidx, od)
-            pltpu.VMEM((cfg["Erow"], 128), jnp.float32),  # ncfg: nearest configs
             pltpu.VMEM(
                 (max((spec.n_spheres + counts["attach"]) * 24, 8), 128),
                 jnp.float32,

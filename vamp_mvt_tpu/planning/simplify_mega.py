@@ -350,7 +350,7 @@ def _run(spec, settings, ctl, paths, sph, cap, zcap, cub, zcub,
         "cuboids": cub.shape[-2],
         "z_cuboids": zcub.shape[-2],
         "pc_chunks": ch.shape[-2] if has_pc else 0,
-        "pc_rrows": (bm.shape[-2] // MAX_CLASSES) if has_pc else 0,
+        "pc_rrows": (bm.shape[-2] // (2 * MAX_CLASSES)) if has_pc else 0,
         "attach": att.shape[-2] if has_att else 0,
         "heightfields": hfm.shape[-2] if has_hf else 0,
         "hf_rows": (hfd.shape[-2] // hfm.shape[-2]) if has_hf else 0,

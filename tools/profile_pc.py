@@ -43,12 +43,15 @@ def edge_tiles(spec, n_configs, seed=0, range_=1.0):
 
 
 def bench(f, envs, qd, reps=20):
+    # distinct input buffers per rep: identical dispatches can be served
+    # from result caches along the way, timing nothing
+    qs = [qd + jnp.float32(i) * 1e-7 for i in range(reps)]
+    jax.block_until_ready(qs)
     out = f(envs, qd)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = f(envs, qd)
-    jax.block_until_ready(out)
+    outs = [f(envs, q) for q in qs]
+    jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / reps, np.asarray(out)
 
 

@@ -38,11 +38,11 @@ from vamp_mvt_tpu.robots.spec import PRISMATIC, REVOLUTE, RobotSpec
 
 BLOCK = 1024  # configs per grid step: one (8, 128) tile per scalar
 
-# pc_phase values (perf decomposition, tools/profile_pc.py ONLY — phases
-# other than 2 skip the exact point scan BY DESIGN and report colliding
-# configurations as valid): 0 = bitmap gate only, 1 = + superchunk/chunk
-# bound tests (no point scans), 4 = per-sphere gate + full chunk scan
-# (no bound tests), 2 = full exact phase (default; the only production value).
+# pc_phase values (perf decomposition, tools/profile_pc{,_suite}.py ONLY —
+# phases other than 2 skip the exact point scan BY DESIGN and report
+# colliding configurations as valid): 0 = bitmap gate only, 1 = + chunk
+# bound pass (no point scans), 4 = per-sphere gate + full chunk scan
+# (no bound pass), 2 = full exact phase (default; the only production value).
 PC_PHASE_FULL = 2
 
 
@@ -87,7 +87,8 @@ def _broadcast_tile(e):
 
 
 def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
-              pc_refs=None, pc_scratch=None, pc_phase: int = PC_PHASE_FULL):
+              pc_refs=None, pc_scratch=None, pc_phase: int = PC_PHASE_FULL,
+              pc_list=None):
     """Fused FK + collision over one (8, 128) tile of configurations.
 
     q_rows: list of d (8, 128) tiles (configuration dimension-major).
@@ -309,7 +310,7 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
                 thr = rk + pr
                 thr2 = thr * thr
                 any_maybe = jnp.sum(maybe.astype(jnp.float32)) > 0.0
-                nsc_k = jnp.where(any_maybe, nsc_live, 0)
+                nch_k = jnp.where(any_maybe, nch_live, 0)
                 if pc_phase == 0:
                     # live data dependency (cannot change the sign of vm, so
                     # decisions are unaffected) so the gate being timed is not
@@ -333,7 +334,40 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
                         out = jnp.minimum(out, d2p - thr2)
                     return out
 
-                def chunk_body(c, vmc):
+                if pc_phase in (2, 4):
+                    # PRODUCTION: flat full chunk scan for gate-flagged
+                    # spheres.  Chunk-bound filtering was measured SLOWER on
+                    # the real suite (planner tiles sweep enough space that
+                    # nearly every chunk bound passes for some lane, so the
+                    # bound pass + list indirection only add overhead:
+                    # 15.3s vs 11.9s plan wall on 200 problems).  Phase 4 is
+                    # kept as an alias for the profiling tools.
+                    return jax.lax.fori_loop(0, nch_k, scan_one, vm)
+
+                if pc_phase == 5:
+                    # full chunk scan with SYNTHESIZED point values (no VMEM
+                    # point loads): isolates scalar-load cost vs vector
+                    # compute in scan_one.  Timing only — results garbage.
+                    def scan_nomem(c, vmc):
+                        out = vmc
+                        cf = c.astype(jnp.float32)
+                        for s2 in range(CS):
+                            px = cf * 1e-3 + float(s2)
+                            py = cf * 2e-3 + float(s2) * 0.5
+                            pz = cf * 3e-3 + float(s2) * 0.25
+                            d2p = (
+                                (cxk - px) ** 2 + (cyk - py) ** 2
+                                + (czk - pz) ** 2
+                            )
+                            out = jnp.minimum(out, jnp.abs(d2p - thr2) + 1.0)
+                        return out
+
+                    return jax.lax.fori_loop(0, nch_k, scan_nomem, vm)
+
+                # profiling-only bound pass (phase 1): sweeps every chunk
+                # bound once, compacting hit-chunk indices into an SMEM list.
+                # Production does NOT use it (see phase 2 above).
+                def bound_chunk(c, cnt):
                     bx = ch_ref[c, 0]
                     by = ch_ref[c, 1]
                     bz = ch_ref[c, 2]
@@ -342,40 +376,18 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
                     rb = thr + br + 1e-4
                     hit = maybe & (bd2 <= rb * rb)
                     any_hit = jnp.sum(hit.astype(jnp.float32)) > 0.0
-                    if pc_phase == 1:
-                        # live dep, sign-preserving (see pc_phase == 0)
-                        return jnp.minimum(
-                            vmc,
-                            jnp.where(any_hit, jnp.float32(1e30), jnp.float32(5e29)),
-                        )
-                    # zero-trip gating (a fori that runs 0 or 1 times) keeps
-                    # Mosaic's control flow shallow vs nested lax.cond
-                    return jax.lax.fori_loop(
-                        c, jnp.where(any_hit, c + 1, c), scan_one, vmc
-                    )
 
-                if pc_phase == 4:
-                    # per-sphere gate only; full chunk scan, no bound tests
-                    nch_k = jnp.where(any_maybe, nch_live, 0)
-                    return jax.lax.fori_loop(0, nch_k, scan_one, vm)
+                    @pl.when(any_hit)
+                    def _():
+                        pc_list[0, cnt] = c
 
-                def super_body(sc, vms):
-                    from vamp_mvt_tpu.collision.pc_kernel import SS
+                    return cnt + any_hit.astype(jnp.int32)
 
-                    sx = su_ref[sc, 0]
-                    sy = su_ref[sc, 1]
-                    sz = su_ref[sc, 2]
-                    sr = su_ref[sc, 3]
-                    sd2 = (cxk - sx) ** 2 + (cyk - sy) ** 2 + (czk - sz) ** 2
-                    rs = thr + sr + 1e-4
-                    hit_s = maybe & (sd2 <= rs * rs)
-                    any_s = jnp.sum(hit_s.astype(jnp.float32)) > 0.0
-                    hi = jnp.where(
-                        any_s, jnp.minimum((sc + 1) * SS, nch_live), sc * SS
-                    )
-                    return jax.lax.fori_loop(sc * SS, hi, chunk_body, vms)
-
-                return jax.lax.fori_loop(0, nsc_k, super_body, vm)
+                cnt = jax.lax.fori_loop(0, nch_k, bound_chunk, jnp.int32(0))
+                # phase 1: bound pass only; live dep, sign-preserving (phase 0)
+                return jnp.minimum(
+                    vm, jnp.where(cnt > 0, jnp.float32(1e30), jnp.float32(5e29))
+                )
 
             vmin = jax.lax.fori_loop(0, ST, sphere_body, vmin)
 
@@ -434,7 +446,7 @@ def _make_kernel(spec: RobotSpec, counts: dict[str, int],
                  pc_phase: int = PC_PHASE_FULL):
     def kernel(sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref, bm_ref, ch_ref,
                pt_ref, su_ref, pcm_ref, stab_ref, att_ref, hfm_ref, hfd_ref,
-               q_ref, out_ref, pc_scr):
+               q_ref, out_ref, pc_scr, pcl_scr):
         q_rows = [q_ref[0, j, 0] for j in range(spec.dimension)]  # (8,128) each
         vmin = tile_vmin(
             spec, counts, (sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref),
@@ -443,6 +455,7 @@ def _make_kernel(spec: RobotSpec, counts: dict[str, int],
                      att_ref, hfm_ref, hfd_ref),
             pc_scratch=pc_scr,
             pc_phase=pc_phase,
+            pc_list=pcl_scr,
         )
         out_ref[0, 0] = (vmin >= 0.0).astype(jnp.int8)
 
@@ -518,7 +531,8 @@ def _run(spec, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab, att,
             pltpu.VMEM(
                 (max((spec.n_spheres + counts["attach"]) * 24, 8), 128),
                 jnp.float32,
-            )
+            ),
+            pltpu.SMEM((1, max(counts["pc_chunks"], 1)), jnp.int32),
         ],
         interpret=interpret,
     )(

@@ -83,6 +83,10 @@ class RRTCSettings:
     # -1 (default) = everything = the production kernel; any other value
     # produces a kernel whose RESULTS ARE MEANINGLESS (timing only).
     profile_mask: int = -1
+    # megakernel pointcloud-phase decomposition (profiling only, see
+    # fkcc_pallas.PC_PHASE_FULL): != 2 skips parts of the exact scan and
+    # produces WRONG validity for colliding-with-pointcloud configurations.
+    pc_phase: int = 2
 
 
 class RRTCResult(NamedTuple):

@@ -165,11 +165,12 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
     P_SAMP, P_NN, P_FKCC, P_BOOK, P_SOLVE = (
         bool(PM & 1), bool(PM & 2), bool(PM & 4), bool(PM & 8), bool(PM & 16)
     )
+    PCP = int(getattr(s, "pc_phase", 2))  # profiling only (see rrtc.py)
     lin, lrad = dp, dp + 1  # meta lanes: in_start flag, dynamic-domain radius
     def kernel(ctl_ref, nodes0_ref, sph_ref, cap_ref, zcap_ref, cub_ref,
                zcub_ref, bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref,
                att_ref, hfm_ref, hfd_ref, cfg_hbm, par_out, scal_out,
-               buf_out, cvec_scr, cnt_scr, escr, rscr, pc_scr,
+               buf_out, cvec_scr, cnt_scr, escr, rscr, pc_scr, pcl_scr,
                dma_sem):
         # buf_out row layout: lanes 0..d-1 = configuration, lane lin =
         # in_start flag, lane lrad = dynamic-domain radius, rest zero.
@@ -441,7 +442,7 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                         a_t = _dotx(rowslice(en, j), ohl)
                         b_t = _dotx(rowslice(ev, j), ohl)
                         q_rows.append(a_t + b_t * frac)
-                    vmin = tile_vmin(spec, counts, env_refs, q_rows, pc_refs=pc_refs, pc_scratch=pc_scr)
+                    vmin = tile_vmin(spec, counts, env_refs, q_rows, pc_refs=pc_refs, pc_scratch=pc_scr, pc_phase=PCP, pc_list=pcl_scr)
                     okf = (vmin >= 0.0).astype(jnp.float32)
                     cnts = _dotx(okf, jnp.transpose(ohl))  # (8, R)
                     cnt_scr[:, t * R : (t + 1) * R] = cnts
@@ -779,6 +780,7 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
                 (max((spec.n_spheres + counts["attach"]) * 24, 8), 128),
                 jnp.float32,
             ),  # staged sphere centers (pointcloud / heightfield loops)
+            pltpu.SMEM((1, max(counts["pc_chunks"], 1)), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -58,7 +58,7 @@ def _make_kernel(spec: RobotSpec, s: SimplifySettings, counts: dict, P: int):
     def kernel(ctl_ref, path_in, sph_ref, cap_ref, zcap_ref, cub_ref,
                zcub_ref, bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref,
                att_ref, hfm_ref, hfd_ref, path_out, scal_out, jscr, buf2,
-               cj_smem, cst_smem, ccnt_smem, res_smem, pc_scr):
+               cj_smem, cst_smem, ccnt_smem, res_smem, pc_scr, pcl_scr):
         env_refs = (sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref)
         pc_refs = (bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref,
                    att_ref, hfm_ref, hfd_ref)
@@ -112,7 +112,7 @@ def _make_kernel(spec: RobotSpec, s: SimplifySettings, counts: dict, P: int):
                     blk[:, j : j + 1] + blk[:, dp + j : dp + j + 1] * frac
                     for j in range(d)
                 ]
-                vmin = tile_vmin(spec, counts, env_refs, q_rows, pc_refs=pc_refs, pc_scratch=pc_scr)
+                vmin = tile_vmin(spec, counts, env_refs, q_rows, pc_refs=pc_refs, pc_scratch=pc_scr, pc_list=pcl_scr)
                 okc = jnp.sum((vmin >= 0.0).astype(jnp.float32), axis=1,
                               keepdims=True)  # (8, 1)
                 for s2 in range(8):
@@ -408,6 +408,7 @@ def _run(spec, settings, ctl, paths, sph, cap, zcap, cub, zcub,
                 (max((spec.n_spheres + counts["attach"]) * 24, 8), 128),
                 jnp.float32,
             ),  # staged sphere centers (pointcloud / heightfield loops)
+            pltpu.SMEM((1, max(counts["pc_chunks"], 1)), jnp.int32),
         ],
         interpret=interpret,
     )(ctl, paths, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab,

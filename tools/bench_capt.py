@@ -29,12 +29,15 @@ from vamp_mvt_tpu.robots import registry
 
 
 def bench(f, *args, reps=10):
+    # vary the final (query) argument per rep: identical dispatches can be
+    # served from result caches along the way, timing nothing
+    varied = [args[:-1] + (args[-1] + i * 1e-7,) for i in range(reps)]
+    jax.block_until_ready([v[-1] for v in varied])
     out = f(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = f(*args)
-    jax.block_until_ready(out)
+    outs = [f(*v) for v in varied]
+    jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / reps, np.asarray(out)
 
 

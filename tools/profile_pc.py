@@ -98,8 +98,8 @@ def main():
     # per-phase decomposition (profiling-only pc_phase knob; phase != 2
     # results are intentionally wrong — only the timing matters here)
     for phase, label in ((0, "bitmap gate only"),
-                         (1, "+ super/chunk bounds"),
-                         (4, "gate + full scan (no bounds)")):
+                         (1, "+ chunk bound pass"),
+                         (5, "scan, synthesized points")):
         r = jax.jit(
             lambda e, x, p=phase: fp.fkcc_pallas_batched_lanes(
                 spec, e, x, pc_phase=p

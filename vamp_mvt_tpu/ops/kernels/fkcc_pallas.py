@@ -88,7 +88,7 @@ def _broadcast_tile(e):
 
 def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
               pc_refs=None, pc_scratch=None, pc_phase: int = PC_PHASE_FULL,
-              pc_list=None):
+              pc_list=None, lane_mask=None):
     """Fused FK + collision over one (8, 128) tile of configurations.
 
     q_rows: list of d (8, 128) tiles (configuration dimension-major).
@@ -305,6 +305,11 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
                     vm, jnp.where(chit, jnp.float32(-1.0), jnp.float32(jnp.inf))
                 )
                 alive = vm >= 0.0
+                if lane_mask is not None:
+                    # caller-declared dead lanes (stale edge rows, padding
+                    # jobs): their validity is never read, so they must not
+                    # flag spheres into the exact scan
+                    alive = alive & lane_mask
                 maybe = ((~ing) | (bit == 1)) & alive
 
                 thr = rk + pr
@@ -320,14 +325,14 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
                     )
 
                 def scan_one(c, vmc):
-                    # exact scan of chunk c (unrolled static lanes: dynamic-
-                    # lane scalar reads do not lower; code size is bounded by
-                    # the single dynamic sphere loop around this)
+                    # exact scan of chunk c (unrolled static lanes; points
+                    # live in SMEM — per-point scalar loads from VMEM were
+                    # measured as ~93% of pointcloud plan wall, phase 5 vs 4)
                     out = vmc
                     for s2 in range(CS):
-                        px = pt_ref[c, s2]
-                        py = pt_ref[c, CS + s2]
-                        pz = pt_ref[c, 2 * CS + s2]
+                        px = pt_ref[0, c, s2]
+                        py = pt_ref[0, c, CS + s2]
+                        pz = pt_ref[0, c, 2 * CS + s2]
                         d2p = (
                             (cxk - px) ** 2 + (cyk - py) ** 2 + (czk - pz) ** 2
                         )
@@ -510,7 +515,7 @@ def _run(spec, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab, att,
             smem_spec(max(counts["z_cuboids"], 1), 15),
             vmem_spec(bm.shape[-2], 128),
             vmem_spec(ch.shape[-2], 8),
-            vmem_spec(pt.shape[-2], pt.shape[-1]),
+            smem_spec(pt.shape[-2], pt.shape[-1]),
             vmem_spec(su.shape[-2], 8),
             smem_spec(1, 8),
             smem_spec(stab.shape[-2], 2),

@@ -436,13 +436,24 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
 
                     n_p = rowslice(jnp.broadcast_to(n_all, (Erow, dp)), 0)  # (8, R)
                     n_tile = _dotx(n_p, ohl)
+                    # stale-edge lane mask: rows K..EPT-1 of a grow tile (and
+                    # connect rows past c_rem) are pinned to the connect tip,
+                    # a tree node often near obstacles — without the mask
+                    # they flag pointcloud spheres into the exact scan on
+                    # every step for lanes nobody reads
+                    lv_p = rowslice(
+                        jnp.broadcast_to(
+                            live_row.astype(jnp.float32), (Erow, dp)
+                        ), 0,
+                    )
+                    lane_live = _dotx(lv_p, ohl) > 0.5
                     frac = jnp.minimum(jp1 / (8.0 * n_tile), 1.0)
                     q_rows = []
                     for j in range(d):
                         a_t = _dotx(rowslice(en, j), ohl)
                         b_t = _dotx(rowslice(ev, j), ohl)
                         q_rows.append(a_t + b_t * frac)
-                    vmin = tile_vmin(spec, counts, env_refs, q_rows, pc_refs=pc_refs, pc_scratch=pc_scr, pc_phase=PCP, pc_list=pcl_scr)
+                    vmin = tile_vmin(spec, counts, env_refs, q_rows, pc_refs=pc_refs, pc_scratch=pc_scr, pc_phase=PCP, pc_list=pcl_scr, lane_mask=lane_live)
                     okf = (vmin >= 0.0).astype(jnp.float32)
                     cnts = _dotx(okf, jnp.transpose(ohl))  # (8, R)
                     cnt_scr[:, t * R : (t + 1) * R] = cnts
@@ -757,8 +768,7 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, ch.shape[-2], 8), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, pt.shape[-2], pt.shape[-1]), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            smem_spec(pt.shape[-2], pt.shape[-1]),
             pl.BlockSpec((None, su.shape[-2], 8), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             smem_spec(1, 8),

@@ -112,7 +112,13 @@ def _make_kernel(spec: RobotSpec, s: SimplifySettings, counts: dict, P: int):
                     blk[:, j : j + 1] + blk[:, dp + j : dp + j + 1] * frac
                     for j in range(d)
                 ]
-                vmin = tile_vmin(spec, counts, env_refs, q_rows, pc_refs=pc_refs, pc_scratch=pc_scr, pc_list=pcl_scr)
+                # padding jobs (rows past njobs in the final tile) hold the
+                # previous batch's rows — mask them out of the pointcloud
+                # exact-scan gate (their validity is never read)
+                lane_live = jnp.broadcast_to(
+                    subl8 < (njobs - t * 8), (8, 128)
+                )
+                vmin = tile_vmin(spec, counts, env_refs, q_rows, pc_refs=pc_refs, pc_scratch=pc_scr, pc_list=pcl_scr, lane_mask=lane_live)
                 okc = jnp.sum((vmin >= 0.0).astype(jnp.float32), axis=1,
                               keepdims=True)  # (8, 1)
                 for s2 in range(8):
@@ -378,8 +384,7 @@ def _run(spec, settings, ctl, paths, sph, cap, zcap, cub, zcub,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, ch.shape[-2], 8), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, pt.shape[-2], pt.shape[-1]), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            smem_spec(pt.shape[-2], pt.shape[-1]),
             pl.BlockSpec((None, su.shape[-2], 8), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             smem_spec(1, 8),

@@ -98,7 +98,6 @@ def main():
     # per-phase decomposition (profiling-only pc_phase knob; phase != 2
     # results are intentionally wrong — only the timing matters here)
     for phase, label in ((0, "bitmap gate only"),
-                         (1, "+ chunk bound pass"),
                          (5, "scan, synthesized points")):
         r = jax.jit(
             lambda e, x, p=phase: fp.fkcc_pallas_batched_lanes(

@@ -5,9 +5,8 @@ Runs run_suite_pointcloud on a suite subset once per pc_phase value
 costs are meaningless there — only plan_wall matters).  Attribution:
 
   phase 0: FK + bitmap gate only
-  phase 1: + superchunk/chunk bound tests (no point scans)
-  phase 4: bitmap gate + full chunk scans (no bound hierarchy)
-  phase 2: full production exact phase
+  phase 5: chunk-outer scans with synthesized points (no SMEM loads)
+  phase 2: full production exact phase (4 = alias)
 
 Usage: python tools/profile_pc_suite.py [robot] [max_problems]
 """
@@ -41,7 +40,7 @@ def main():
         sample_window=4,
     )
     phases = [int(x) for x in os.environ.get(
-        "PC_PHASES", "2,0,1,4").split(",")]
+        "PC_PHASES", "2,0,5").split(",")]
     for phase in phases:
         s = dataclasses.replace(base, pc_phase=phase)
         suite, timings = mbm.run_suite_pointcloud(

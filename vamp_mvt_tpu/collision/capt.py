@@ -225,10 +225,17 @@ def capt_collides(capt: CAPTData, p: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray
     nlog2 = (capt.tests.shape[0] + 1).bit_length() - 1  # static from shape
     r_point = capt.meta[0]
 
-    # top-level AABB reject with the raw radius (capt.hh:376-380)
+    # top-level AABB reject.  DIVERGENCE (bug fix): the reference tests the
+    # RAW radius here (capt.hh:375-378) and only adds r_point after the
+    # descent (:390), so it misses collisions whose query center lies within
+    # (r, r + r_point] of the cloud's bounding box — measured 3 false
+    # negatives per ~226k planner-realistic queries vs brute force.  We
+    # inflate by r_point, making the query exact (tools/bench_capt.py
+    # reports any residual disagreement vs MVT/brute force).
     lo, hi = capt.top_aabb[:3], capt.top_aabb[3:]
     dtop = p - jnp.clip(p, lo, hi)
-    inside = jnp.sum(dtop * dtop, -1) <= r * r
+    rt = r + r_point
+    inside = jnp.sum(dtop * dtop, -1) <= rt * rt
 
     # n-level descent on the implicit heap (capt.hh:382-388)
     idx = jnp.zeros(p.shape[:-1], jnp.int32)

@@ -39,10 +39,10 @@ from vamp_mvt_tpu.robots.spec import PRISMATIC, REVOLUTE, RobotSpec
 BLOCK = 1024  # configs per grid step: one (8, 128) tile per scalar
 
 # pc_phase values (perf decomposition, tools/profile_pc{,_suite}.py ONLY —
-# phases other than 2 skip parts of the exact scan BY DESIGN and report
-# colliding configurations as valid): 0 = bitmap gate only, 5 = scan with
-# synthesized point values (no SMEM loads), 2 = full exact phase (default;
-# the only production value; 4 is kept as an alias).
+# phases other than 2 skip the exact point scan BY DESIGN and report
+# colliding configurations as valid): 0 = bitmap gate only, 1 = + chunk
+# bound pass (no point scans), 4 = per-sphere gate + full chunk scan
+# (no bound pass), 2 = full exact phase (default; the only production value).
 PC_PHASE_FULL = 2
 
 
@@ -263,14 +263,11 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
 
             HROW0 = MAX_CLASSES * RROWS  # start of the certain-hit row half
 
-            def sphere_gate(k, carry):
-                """Pass 1: bitmap gate + certain-hit for sphere k; flagged
-                sphere indices are compacted into the pc_list SMEM scratch
-                for the chunk-outer scan below."""
-                vm, cnt = carry
+            def sphere_body(k, vm):
                 cxk = pc_scratch[pl.ds(k * 24, 8), :]
                 cyk = pc_scratch[pl.ds(k * 24 + 8, 8), :]
                 czk = pc_scratch[pl.ds(k * 24 + 16, 8), :]
+                rk = stab_ref[0, k, 0]
                 cls = jnp.int32(stab_ref[0, k, 1])
 
                 vx = jnp.floor((cxk - wsx) * inv).astype(jnp.int32)
@@ -314,65 +311,90 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
                     # flag spheres into the exact scan
                     alive = alive & lane_mask
                 maybe = ((~ing) | (bit == 1)) & alive
+
+                thr = rk + pr
+                thr2 = thr * thr
                 any_maybe = jnp.sum(maybe.astype(jnp.float32)) > 0.0
+                nch_k = jnp.where(any_maybe, nch_live, 0)
+                if pc_phase == 0:
+                    # live data dependency (cannot change the sign of vm, so
+                    # decisions are unaffected) so the gate being timed is not
+                    # dead-code-eliminated
+                    return jnp.minimum(
+                        vm, jnp.where(any_maybe, jnp.float32(1e30), jnp.float32(5e29))
+                    )
 
-                @pl.when(any_maybe)
-                def _():
-                    pc_list[0, cnt] = k
+                def scan_one(c, vmc):
+                    # exact scan of chunk c (unrolled static lanes; points
+                    # live in SMEM — per-point scalar loads from VMEM were
+                    # measured as ~93% of pointcloud plan wall, phase 5 vs 4)
+                    out = vmc
+                    for s2 in range(CS):
+                        px = pt_ref[0, c, s2]
+                        py = pt_ref[0, c, CS + s2]
+                        pz = pt_ref[0, c, 2 * CS + s2]
+                        d2p = (
+                            (cxk - px) ** 2 + (cyk - py) ** 2 + (czk - pz) ** 2
+                        )
+                        out = jnp.minimum(out, d2p - thr2)
+                    return out
 
-                return vm, cnt + any_maybe.astype(jnp.int32)
+                if pc_phase in (2, 4):
+                    # PRODUCTION: flat full chunk scan for gate-flagged
+                    # spheres.  Chunk-bound filtering was measured SLOWER on
+                    # the real suite (planner tiles sweep enough space that
+                    # nearly every chunk bound passes for some lane, so the
+                    # bound pass + list indirection only add overhead:
+                    # 15.3s vs 11.9s plan wall on 200 problems).  Phase 4 is
+                    # kept as an alias for the profiling tools.
+                    return jax.lax.fori_loop(0, nch_k, scan_one, vm)
 
-            vmin, n_flag = jax.lax.fori_loop(
-                0, ST, sphere_gate, (vmin, jnp.int32(0))
-            )
-            if pc_phase == 0:
-                # gate only; live sign-preserving dep (profiling)
-                vmin = jnp.minimum(
-                    vmin,
-                    jnp.where(n_flag > 0, jnp.float32(1e30), jnp.float32(5e29)),
-                )
-            else:
-                # Pass 2: chunk-OUTER / flagged-sphere-INNER exact scan.  The
-                # 96 SMEM point loads of a chunk amortize over every flagged
-                # sphere (they were ~93% of pointcloud plan wall when paid
-                # per (sphere, chunk)); per (chunk, sphere) the cost is 3
-                # dynamic center-row reads + CS fused distance tests.  Chunk
-                # bounds were measured NOT to pay (planner tiles sweep enough
-                # space that nearly every bound passes for some lane).
-                def chunk_outer(c, vm):
-                    if pc_phase == 5:
-                        # synthesized points (profiling): no SMEM loads
+                if pc_phase == 5:
+                    # full chunk scan with SYNTHESIZED point values (no VMEM
+                    # point loads): isolates scalar-load cost vs vector
+                    # compute in scan_one.  Timing only — results garbage.
+                    def scan_nomem(c, vmc):
+                        out = vmc
                         cf = c.astype(jnp.float32)
-                        pxs = [cf * 1e-3 + float(s2) for s2 in range(CS)]
-                        pys = [cf * 2e-3 + float(s2) * 0.5 for s2 in range(CS)]
-                        pzs = [cf * 3e-3 + float(s2) * 0.25 for s2 in range(CS)]
-                    else:
-                        pxs = [pt_ref[0, c, s2] for s2 in range(CS)]
-                        pys = [pt_ref[0, c, CS + s2] for s2 in range(CS)]
-                        pzs = [pt_ref[0, c, 2 * CS + s2] for s2 in range(CS)]
-
-                    def sphere_scan(i, vmi):
-                        k = jnp.int32(pc_list[0, i])
-                        cxk = pc_scratch[pl.ds(k * 24, 8), :]
-                        cyk = pc_scratch[pl.ds(k * 24 + 8, 8), :]
-                        czk = pc_scratch[pl.ds(k * 24 + 16, 8), :]
-                        rk = stab_ref[0, k, 0]
-                        thr = rk + pr
-                        thr2 = thr * thr
-                        out = vmi
                         for s2 in range(CS):
+                            px = cf * 1e-3 + float(s2)
+                            py = cf * 2e-3 + float(s2) * 0.5
+                            pz = cf * 3e-3 + float(s2) * 0.25
                             d2p = (
-                                (cxk - pxs[s2]) ** 2
-                                + (cyk - pys[s2]) ** 2
-                                + (czk - pzs[s2]) ** 2
+                                (cxk - px) ** 2 + (cyk - py) ** 2
+                                + (czk - pz) ** 2
                             )
-                            out = jnp.minimum(out, d2p - thr2)
+                            out = jnp.minimum(out, jnp.abs(d2p - thr2) + 1.0)
                         return out
 
-                    return jax.lax.fori_loop(0, n_flag, sphere_scan, vm)
+                    return jax.lax.fori_loop(0, nch_k, scan_nomem, vm)
 
-                nch_k = jnp.where(n_flag > 0, nch_live, 0)
-                vmin = jax.lax.fori_loop(0, nch_k, chunk_outer, vmin)
+                # profiling-only bound pass (phase 1): sweeps every chunk
+                # bound once, compacting hit-chunk indices into an SMEM list.
+                # Production does NOT use it (see phase 2 above).
+                def bound_chunk(c, cnt):
+                    bx = ch_ref[c, 0]
+                    by = ch_ref[c, 1]
+                    bz = ch_ref[c, 2]
+                    br = ch_ref[c, 3]
+                    bd2 = (cxk - bx) ** 2 + (cyk - by) ** 2 + (czk - bz) ** 2
+                    rb = thr + br + 1e-4
+                    hit = maybe & (bd2 <= rb * rb)
+                    any_hit = jnp.sum(hit.astype(jnp.float32)) > 0.0
+
+                    @pl.when(any_hit)
+                    def _():
+                        pc_list[0, cnt] = c
+
+                    return cnt + any_hit.astype(jnp.int32)
+
+                cnt = jax.lax.fori_loop(0, nch_k, bound_chunk, jnp.int32(0))
+                # phase 1: bound pass only; live dep, sign-preserving (phase 0)
+                return jnp.minimum(
+                    vm, jnp.where(cnt > 0, jnp.float32(1e30), jnp.float32(5e29))
+                )
+
+            vmin = jax.lax.fori_loop(0, ST, sphere_body, vmin)
 
         # --- heightfields (reference sphere_heightfield.hh:8-30): map world
         # xy to a grid cell, chained lane-gather of the height, compare the
@@ -515,7 +537,7 @@ def _run(spec, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab, att,
                 (max((spec.n_spheres + counts["attach"]) * 24, 8), 128),
                 jnp.float32,
             ),
-            pltpu.SMEM((1, spec.n_spheres + max(counts["attach"], 1)), jnp.int32),
+            pltpu.SMEM((1, max(counts["pc_chunks"], 1)), jnp.int32),
         ],
         interpret=interpret,
     )(

@@ -790,7 +790,7 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
                 (max((spec.n_spheres + counts["attach"]) * 24, 8), 128),
                 jnp.float32,
             ),  # staged sphere centers (pointcloud / heightfield loops)
-            pltpu.SMEM((1, spec.n_spheres + max(counts["attach"], 1)), jnp.int32),
+            pltpu.SMEM((1, max(counts["pc_chunks"], 1)), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

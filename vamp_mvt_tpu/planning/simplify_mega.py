@@ -413,7 +413,7 @@ def _run(spec, settings, ctl, paths, sph, cap, zcap, cub, zcub,
                 (max((spec.n_spheres + counts["attach"]) * 24, 8), 128),
                 jnp.float32,
             ),  # staged sphere centers (pointcloud / heightfield loops)
-            pltpu.SMEM((1, spec.n_spheres + max(counts["attach"], 1)), jnp.int32),
+            pltpu.SMEM((1, max(counts["pc_chunks"], 1)), jnp.int32),
         ],
         interpret=interpret,
     )(ctl, paths, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab,

@@ -222,6 +222,53 @@ def test_mega_attachment_plan_parity():
     _plan_parity(spec, envs, starts, goals, masks, settings, B)
 
 
+def test_pck_attachment_radius_class_soundness():
+    """Attachment radii need not match a robot radius class, so the
+    per-class bitmap shortcuts must be gated per sphere (ADVICE r4 high):
+
+    - a payload SMALLER than its class radius must not inherit the class's
+      certain-HIT bits (they'd falsely mark near-miss configs as colliding);
+    - a payload LARGER than every class radius has no sound certain-FREE
+      gate at all and must always take the exact scan.
+    Both cases are built geometrically: the point sits exactly on a voxel
+    center so the class-radius bits are known, and the payload is placed in
+    the critical band."""
+    cell = 0.25  # W = floor(6 / max_radius) = 24 voxels over the 6 m box
+    pc = np.asarray([[0.125, 0.125, 3.125]], np.float32)  # a voxel center
+    spec = registry.sphere_spec(lows=WMIN, highs=WMAX, radius=0.25)
+
+    def env_with(att_local, att_r, mvt_max_r):
+        b = envmod.EnvironmentBuilder()
+        b.add_mvt_pointcloud(pc, 0.02, mvt_max_r, WMIN, WMAX, R_POINT)
+        b.add_kernel_pointcloud(
+            pc, radius_classes(spec.sphere_radius), WMIN, WMAX, R_POINT, 0.25
+        )
+        b.attach(fkcc.make_attachment([[*att_local, att_r]]))
+        return b.build()
+
+    # Case 1: payload r=0.02 (class radius 0.25) at 0.06 from the point, in
+    # the point's own voxel: the class-radius certain-hit bit is set
+    # (0 <= 0.25 + r_point - half_diag) but the payload is FREE
+    # (0.06 > 0.02 + r_point).
+    env = env_with([0.6, 0.0, 0.0], 0.02, 0.25)
+    q = jnp.asarray([[0.125 + 0.06 - 0.6, 0.125, 3.125]], jnp.float32)
+    got = np.asarray(fkcc.fkcc(spec, env, q, use_pallas=True))
+    xla = np.asarray(fkcc.fkcc(spec, env, q, use_pallas=False))
+    assert got[0], "small payload near (not touching) the cloud must be free"
+    np.testing.assert_array_equal(got, xla)
+
+    # Case 2: payload r=0.4 > every class radius, at 0.38 from the point, in
+    # a voxel whose class-0 certain-free bit is 0 (center 0.5 away
+    # > 0.25 + r_point + half_diag): the gate would skip the exact scan, but
+    # the payload COLLIDES (0.38 < 0.4 + r_point).
+    env = env_with([0.9, 0.0, 0.0], 0.4, 0.45)
+    q = jnp.asarray([[0.125 + 0.38 - 0.9, 0.125, 3.125]], jnp.float32)
+    got = np.asarray(fkcc.fkcc(spec, env, q, use_pallas=True))
+    xla = np.asarray(fkcc.fkcc(spec, env, q, use_pallas=False))
+    assert not got[0], "oversized payload touching the cloud must collide"
+    np.testing.assert_array_equal(got, xla)
+
+
 def test_pc_phase_default_is_exact():
     """The pc_phase decomposition knob (profiling-only) must default to the
     full exact phase: phases 0/1 skip the exact point scan by design and

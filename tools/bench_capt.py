@@ -91,9 +91,10 @@ def main():
     f_mvt = jax.jit(lambda p, r: mvt_mod.mvt_collides(mvt, p, r))
     dt_c, out_c = bench(f_capt, cj, rj)
     dt_m, out_m = bench(f_mvt, cj, rj)
+    # both queries are exact (CAPT after the top-AABB r_point fix; MVT uses
+    # r + r_point throughout) — any disagreement is a regression
     dis = int((out_c != out_m).sum())
-    if dis:
-        print(f"WARNING: CAPT and MVT disagree on {dis}/{N} queries")
+    assert dis == 0, f"CAPT and MVT disagree on {dis}/{N} queries"
 
     rows = [("CAPT gather-descent", dt_c, out_c.sum()),
             ("MVT 27-voxel gather", dt_m, out_m.sum())]

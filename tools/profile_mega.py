@@ -98,6 +98,8 @@ def main():
     ctl = jnp.zeros((nodes0.shape[0], 1, 8), jnp.int32)
     ctl = ctl.at[:, 0, 1].set(any_direct.astype(jnp.int32))
     ctl = ctl.at[:, 0, 2].set(jnp.sum(masks.astype(jnp.int32), axis=1))
+    # budget is a runtime scalar now (ctl lane 3)
+    ctl = ctl.at[:, 0, 3].set(settings.max_iterations)
     bm, ch, pt, su, pcm, stab, att, hfm, hfd, flags = _pc_arrays(spec, envs)
 
     def kernel_only(off):
@@ -109,10 +111,10 @@ def main():
             bm, ch, pt, su, pcm, stab, att, hfm, hfd, flags, False,
         )
 
-    _, _, scal = kernel_only(0)
+    _, scal = kernel_only(0)
     np.asarray(scal[0, 0, 0])
     t0 = time.perf_counter()
-    _, _, scal = kernel_only(1)
+    _, scal = kernel_only(1)
     np.asarray(scal[0, 0, 0])
     dt_kernel = time.perf_counter() - t0
     sc = np.asarray(scal)[:, 0]

@@ -76,6 +76,8 @@ def main():
     )
     ctl = jnp.zeros((B, 1, 8), jnp.int32)
     ctl = ctl.at[:, 0, 2].set(jnp.sum(masks.astype(jnp.int32), axis=1))
+    # budget is a runtime scalar now (ctl lane 3)
+    ctl = ctl.at[:, 0, 3].set(base.max_iterations)
     bm, ch, pt, su, pcm, stab, att, hfm, hfd, flags = _pc_arrays(spec, envs)
 
     def run(mask):
@@ -89,10 +91,10 @@ def main():
                     envs.z_cuboids, bm, ch, pt, su, pcm, stab, att, hfm,
                     hfd, flags, False)
 
-        _, _, scal = rrtc_mega._run_mega(*args(0))
+        _, scal = rrtc_mega._run_mega(*args(0))
         np.asarray(scal[0, 0, 0])
         t0 = time.perf_counter()
-        _, _, scal = rrtc_mega._run_mega(*args(1))
+        _, scal = rrtc_mega._run_mega(*args(1))
         sc = np.asarray(scal)
         dt = time.perf_counter() - t0
         steps = int(sc[:, 0, 9].sum() + sc[:, 0, 10].sum())

@@ -566,17 +566,17 @@ def run_suite(
             settings = rrtc.RRTCSettings(
                 range=registry.RRT_RANGES.get(robot, 1.0),
                 max_iterations=4096,
-                max_samples=2048,
+                # node capacity sized for the 32x straggler retry: the SAME
+                # compiled program serves both calls (budget is a runtime
+                # scalar; the megakernel only ever touches the live tree
+                # prefix, so the larger buffer costs nothing per step)
+                max_samples=16384,
                 max_path=96,
                 samples_per_step=16,
                 connect_segments=8,
                 sample_window=4,
             )
-        retry_settings = dataclasses.replace(
-            settings,
-            max_iterations=32 * 4096,
-            max_samples=16384,
-        )
+        retry_budget = 32 * settings.max_iterations
     elif settings is None:
         settings = rrtc.RRTCSettings(
             range=registry.RRT_RANGES.get(robot, 1.0),
@@ -657,16 +657,28 @@ def run_suite(
 
         # jit the full per-batch pipelines (the megakernel wrappers do a
         # handful of eager array preps, and every eager dispatch pays full
-        # device-call latency), memoized across run_suite calls
+        # device-call latency), memoized across run_suite calls.  The budget
+        # is a runtime argument, so the 32x straggler retry reuses the SAME
+        # compiled program on the full batch: non-straggler rows get their
+        # goal replaced by their start, pass the direct check, and exit the
+        # kernel loop instantly (~µs each).
         def build_mega_fns():
             plan_fn = jax.jit(
-                lambda e, s, g, m: rrtc_mega.plan_batch_mega(
-                    spec, e, s, g, m, settings
+                lambda e, s, g, m, budget: rrtc_mega.plan_batch_mega(
+                    spec, e, s, g, m, settings, budget=budget
                 )
             )
-            retry_fn = jax.jit(
-                lambda e, s, g, m: rrtc_mega.plan_batch_mega(
-                    spec, e, s, g, m, retry_settings
+            retry_goals_fn = jax.jit(
+                lambda s, g, um: jnp.where(
+                    um[:, None, None], g, s[:, None, :]
+                )
+            )
+            merge_fn = jax.jit(
+                lambda old, new, um: jax.tree_util.tree_map(
+                    lambda o, n: jnp.where(
+                        um.reshape(um.shape + (1,) * (o.ndim - 1)), n, o
+                    ),
+                    old, new,
                 )
             )
             if simplify_mega.supports(simp_settings):
@@ -679,10 +691,10 @@ def run_suite(
                 simp_fn = lambda e, p, l: simplify.simplify_batch_compact(
                     spec, e, p, l, simp_settings
                 )
-            return plan_fn, retry_fn, simp_fn
+            return plan_fn, retry_goals_fn, merge_fn, simp_fn
 
-        plan_fn, retry_fn, simp_fn = _cached_fns(
-            ("mega", id(spec), settings, retry_settings, simp_settings),
+        plan_fn, retry_goals_fn, merge_fn, simp_fn = _cached_fns(
+            ("mega", id(spec), settings, simp_settings),
             build_mega_fns,
         )
     else:
@@ -706,46 +718,77 @@ def run_suite(
     env_b = batches(envs)
     st_b, gl_b, mk_b = batches(starts), batches(goals), batches(masks)
 
+    if planner == "mega":
+
+        def solve_batch(e, s_, g, m):
+            pr = plan_fn(e, s_, g, m, jnp.int32(settings.max_iterations))
+            jax.block_until_ready(pr)
+            t_retry = time.perf_counter()
+            unsolved = ~np.asarray(pr.solved)
+            if unsolved.any():
+                # same compiled program, 32x budget; solved rows are padded
+                # to trivial start==start problems that exit instantly
+                um = jnp.asarray(unsolved)
+                g2 = retry_goals_fn(s_, g, um)
+                rr = plan_fn(e, s_, g2, m, jnp.int32(retry_budget))
+                pr = merge_fn(pr, rr, um)
+                jax.block_until_ready(pr)
+            return pr, t_retry
+
+    else:
+
+        def solve_batch(e, s_, g, m):
+            pr = plan_fn(e, s_, g, m)
+            jax.block_until_ready(pr)
+            t_retry = time.perf_counter()
+            unsolved = ~np.asarray(pr.solved)
+            if unsolved.any():
+                # rerun stragglers at the 32x budget in fixed-size batches
+                # and scatter the results back with ONE jitted device program
+                # per batch (eager per-field scatters pay dispatch latency)
+                idx = np.flatnonzero(unsolved)
+                for off in range(0, len(idx), RETRY_B):
+                    part = idx[off : off + RETRY_B]
+                    take = jnp.asarray(np.resize(part, RETRY_B))
+                    sub = _gather_sub((e, s_, g, m), take)
+                    rr = retry_fn(*sub)
+                    # padding rows scatter out of bounds and are dropped
+                    part_pad = np.full(RETRY_B, len(unsolved), np.int32)
+                    part_pad[: len(part)] = part
+                    pr = _scatter_merge(pr, rr, jnp.asarray(part_pad))
+                jax.block_until_ready(pr)
+            return pr, t_retry
+
     if warmup:
-        # The compacting driver compiles one program per batch size it visits;
-        # warm everything by running the full pipeline once on the real data.
-        r = plan_fn(env_b[0], st_b[0], gl_b[0], mk_b[0])
-        sr = simp_fn(env_b[0], r.path, r.path_length)
+        # Warm every program the run will dispatch (incl. the retry path —
+        # for mega it is the same planner program with a different budget
+        # scalar plus the two small prep/merge programs).
+        e0, s0, g0, m0 = env_b[0], st_b[0], gl_b[0], mk_b[0]
+        if planner == "mega":
+            r = plan_fn(e0, s0, g0, m0, jnp.int32(settings.max_iterations))
+            um0 = jnp.zeros(r.solved.shape[0], bool).at[0].set(True)
+            g20 = retry_goals_fn(s0, g0, um0)
+            rr0 = plan_fn(e0, s0, g20, m0, jnp.int32(retry_budget))
+            jax.block_until_ready(merge_fn(r, rr0, um0))
+        else:
+            r = plan_fn(e0, s0, g0, m0)
+            take0 = jnp.asarray(np.resize(np.arange(1), RETRY_B))
+            sub0 = _gather_sub((e0, s0, g0, m0), take0)
+            rr0 = retry_fn(*sub0)
+            jax.block_until_ready(rr0.solved)
+            jax.block_until_ready(_scatter_merge(r, rr0, take0))
+        sr = simp_fn(e0, r.path, r.path_length)
         jax.block_until_ready(sr)
-        take0 = jnp.asarray(np.resize(np.arange(1), RETRY_B))
-        sub0 = _gather_sub((env_b[0], st_b[0], gl_b[0], mk_b[0]), take0)
-        rr0 = retry_fn(*sub0)
-        jax.block_until_ready(rr0.solved)
-        jax.block_until_ready(_scatter_merge(r, rr0, take0))
 
     _phase("warmup")
     plan_parts, simp_parts = [], []
     t_plan = t_simp = 0.0
     for e, s_, g, m in zip(env_b, st_b, gl_b, mk_b):
         t0 = time.perf_counter()
-        pr = plan_fn(e, s_, g, m)
-        jax.block_until_ready(pr)
-        tr0 = time.perf_counter()
-        if timings is not None:
-            timings["plan"] = timings.get("plan", 0.0) + (tr0 - t0)
-        unsolved = ~np.asarray(pr.solved)
-        if unsolved.any():
-            # rerun stragglers at the 32x budget in fixed-size batches and
-            # scatter the results back with ONE jitted device program per
-            # batch (eager per-field scatters each pay full dispatch latency)
-            idx = np.flatnonzero(unsolved)
-            for off in range(0, len(idx), RETRY_B):
-                part = idx[off : off + RETRY_B]
-                take = jnp.asarray(np.resize(part, RETRY_B))
-                sub = _gather_sub((e, s_, g, m), take)
-                rr = retry_fn(*sub)
-                # padding rows scatter out of bounds and are dropped
-                part_pad = np.full(RETRY_B, len(unsolved), np.int32)
-                part_pad[: len(part)] = part
-                pr = _scatter_merge(pr, rr, jnp.asarray(part_pad))
-            jax.block_until_ready(pr)
+        pr, tr0 = solve_batch(e, s_, g, m)
         t1 = time.perf_counter()
         if timings is not None:
+            timings["plan"] = timings.get("plan", 0.0) + (tr0 - t0)
             timings["retry"] = timings.get("retry", 0.0) + (t1 - tr0)
         sr = simp_fn(e, pr.path, pr.path_length)
         jax.block_until_ready(sr)
@@ -803,16 +846,16 @@ def run_suite_pointcloud(
         settings = rrtc.RRTCSettings(
             range=registry.RRT_RANGES.get(robot, 1.0),
             max_iterations=4096,
-            max_samples=2048,
+            max_samples=4096,
             max_path=96,
             samples_per_step=16,
             connect_segments=8,
             sample_window=4,
         )
+    retry_budget = 16 * settings.max_iterations
     retry_settings = dataclasses.replace(
         settings,
-        max_iterations=16 * 4096,
-        max_samples=4096,
+        max_iterations=retry_budget,
     )
     RETRY_B = 8
     if simp_settings is None:
@@ -926,13 +969,21 @@ def run_suite_pointcloud(
         def build_pc_fns():
             return (
                 jax.jit(
-                    lambda e, s, g, m: rrtc_mega.plan_batch_mega(
-                        spec, e, s, g, m, settings
+                    lambda e, s, g, m, budget: rrtc_mega.plan_batch_mega(
+                        spec, e, s, g, m, settings, budget=budget
                     )
                 ),
                 jax.jit(
-                    lambda e, s, g, m: rrtc_mega.plan_batch_mega(
-                        spec, e, s, g, m, retry_settings
+                    lambda s, g, um: jnp.where(
+                        um[:, None, None], g, s[:, None, :]
+                    )
+                ),
+                jax.jit(
+                    lambda old, new, um: jax.tree_util.tree_map(
+                        lambda o, n: jnp.where(
+                            um.reshape(um.shape + (1,) * (o.ndim - 1)), n, o
+                        ),
+                        old, new,
                     )
                 ),
                 jax.jit(
@@ -942,8 +993,8 @@ def run_suite_pointcloud(
                 ),
             )
 
-        plan_fn, retry_fn, simp_fn = _cached_fns(
-            ("mega", id(spec), settings, retry_settings, simp_settings),
+        plan_fn, retry_goals_fn, merge_fn, simp_fn = _cached_fns(
+            ("mega", id(spec), settings, simp_settings),
             build_pc_fns,
         )
     else:
@@ -966,34 +1017,62 @@ def run_suite_pointcloud(
     env_b = batches(envs)
     st_b, gl_b, mk_b = batches(starts), batches(goals), batches(masks)
 
+    if use_mega:
+
+        def solve_batch(e, s_, g, m):
+            pr = plan_fn(e, s_, g, m, jnp.int32(settings.max_iterations))
+            jax.block_until_ready(pr)
+            unsolved = ~np.asarray(pr.solved)
+            if unsolved.any():
+                um = jnp.asarray(unsolved)
+                g2 = retry_goals_fn(s_, g, um)
+                rr = plan_fn(e, s_, g2, m, jnp.int32(retry_budget))
+                pr = merge_fn(pr, rr, um)
+                jax.block_until_ready(pr)
+            return pr
+
+    else:
+
+        def solve_batch(e, s_, g, m):
+            pr = plan_fn(e, s_, g, m)
+            jax.block_until_ready(pr)
+            unsolved = ~np.asarray(pr.solved)
+            if unsolved.any():
+                idx = np.flatnonzero(unsolved)
+                for off in range(0, len(idx), RETRY_B):
+                    part = idx[off : off + RETRY_B]
+                    take = jnp.asarray(np.resize(part, RETRY_B))
+                    sub = _gather_sub((e, s_, g, m), take)
+                    rr = retry_fn(*sub)
+                    part_pad = np.full(RETRY_B, len(unsolved), np.int32)
+                    part_pad[: len(part)] = part
+                    pr = _scatter_merge(pr, rr, jnp.asarray(part_pad))
+                jax.block_until_ready(pr)
+            return pr
+
     if warmup:
-        r = plan_fn(env_b[0], st_b[0], gl_b[0], mk_b[0])
-        sr = simp_fn(env_b[0], r.path, r.path_length)
+        e0, s0, g0, m0 = env_b[0], st_b[0], gl_b[0], mk_b[0]
+        if use_mega:
+            r = plan_fn(e0, s0, g0, m0, jnp.int32(settings.max_iterations))
+            um0 = jnp.zeros(r.solved.shape[0], bool).at[0].set(True)
+            g20 = retry_goals_fn(s0, g0, um0)
+            rr0 = plan_fn(e0, s0, g20, m0, jnp.int32(retry_budget))
+            jax.block_until_ready(merge_fn(r, rr0, um0))
+        else:
+            r = plan_fn(e0, s0, g0, m0)
+            take0 = jnp.asarray(np.resize(np.arange(1), RETRY_B))
+            sub0 = _gather_sub((e0, s0, g0, m0), take0)
+            rr0 = retry_fn(*sub0)
+            jax.block_until_ready(rr0.solved)
+            jax.block_until_ready(_scatter_merge(r, rr0, take0))
+        sr = simp_fn(e0, r.path, r.path_length)
         jax.block_until_ready(sr)
-        take0 = jnp.asarray(np.resize(np.arange(1), RETRY_B))
-        sub0 = _gather_sub((env_b[0], st_b[0], gl_b[0], mk_b[0]), take0)
-        rr0 = retry_fn(*sub0)
-        jax.block_until_ready(rr0.solved)
-        jax.block_until_ready(_scatter_merge(r, rr0, take0))
 
     plan_parts, simp_parts = [], []
     t_plan = t_simp = 0.0
     for e, s_, g, m in zip(env_b, st_b, gl_b, mk_b):
         t0 = time.perf_counter()
-        pr = plan_fn(e, s_, g, m)
-        jax.block_until_ready(pr)
-        unsolved = ~np.asarray(pr.solved)
-        if unsolved.any():
-            idx = np.flatnonzero(unsolved)
-            for off in range(0, len(idx), RETRY_B):
-                part = idx[off : off + RETRY_B]
-                take = jnp.asarray(np.resize(part, RETRY_B))
-                sub = _gather_sub((e, s_, g, m), take)
-                rr = retry_fn(*sub)
-                part_pad = np.full(RETRY_B, len(unsolved), np.int32)
-                part_pad[: len(part)] = part
-                pr = _scatter_merge(pr, rr, jnp.asarray(part_pad))
-            jax.block_until_ready(pr)
+        pr = solve_batch(e, s_, g, m)
         t1 = time.perf_counter()
         sr = simp_fn(e, pr.path, pr.path_length)
         jax.block_until_ready(sr)

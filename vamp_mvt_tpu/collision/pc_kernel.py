@@ -50,9 +50,10 @@ class PCKernelData(NamedTuple):
                           #   the exact scan (sign-exact; see tile_vmin).
     chunks: jnp.ndarray   # (NCH, 8) f32: bound cx, cy, cz, r, pad...
     points: jnp.ndarray   # (NCH, 3*CS) f32: x[CS], y[CS], z[CS]
-    supers: jnp.ndarray   # (NSC, 8) f32: bound over SS consecutive chunks
+    supers: jnp.ndarray   # (1, 8) f32 dummy (superchunk hierarchy retired —
+                          #   production uses the flat chunk scan)
     meta: jnp.ndarray     # (1, 8) f32: wsx, wsy, wsz, inv_scale, W,
-                          #   point_radius, n_chunks, n_supers
+                          #   point_radius, n_chunks, unused
     radii: jnp.ndarray    # (MAX_CLASSES,) f32 class upper radii (static-ish)
 
 
@@ -162,23 +163,11 @@ def build_pc_kernel(
 
     pts24 = np.concatenate([grp[:, :, 0], grp[:, :, 1], grp[:, :, 2]], axis=1)
 
-    # superchunk bounds over SS consecutive chunks (sphere around the union
-    # of their real points)
+    # the superchunk hierarchy is dead since production switched to the flat
+    # chunk scan: keep a 1-row dummy so the pytree shape is stable
     live_ch = (n + CS - 1) // CS
-    nsc = (nch + SS - 1) // SS
-    sgrp = pts_pad.reshape(-1)[: nch * CS * 3]
-    sp = pts_pad.reshape(nch * CS, 3)
-    supers = np.zeros((nsc, 8), np.float32)
-    for i in range(nsc):
-        seg = sp[i * SS * CS : (i + 1) * SS * CS]
-        seg = seg[np.arange(len(seg)) + i * SS * CS < n]
-        if len(seg) == 0:
-            supers[i, :3] = FAR
-            continue
-        lo2, hi2 = seg.min(0), seg.max(0)
-        cc2 = 0.5 * (lo2 + hi2)
-        supers[i, :3] = cc2
-        supers[i, 3] = float(np.sqrt(((seg - cc2[None]) ** 2).sum(1).max()))
+    supers = np.zeros((1, 8), np.float32)
+    supers[0, :3] = FAR
 
     meta = np.zeros((1, 8), np.float32)
     meta[0, :3] = wmin
@@ -186,7 +175,6 @@ def build_pc_kernel(
     meta[0, 4] = W
     meta[0, 5] = point_radius
     meta[0, 6] = live_ch
-    meta[0, 7] = (live_ch + SS - 1) // SS  # live superchunks
 
     # numpy on purpose: callers batch many structures and transfer once at
     # stack time (per-array device transfers through the axon tunnel cost

@@ -109,342 +109,348 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
     }
     S = spec.n_spheres
 
-    if True:  # body kept at original indentation for the shared helpers below
-        centers, ee_pose = _fk_centers(spec, q_rows)
-        cx = [_broadcast_tile(c[0]) for c in centers]
-        cy = [_broadcast_tile(c[1]) for c in centers]
-        cz = [_broadcast_tile(c[2]) for c in centers]
+    centers, ee_pose = _fk_centers(spec, q_rows)
+    cx = [_broadcast_tile(c[0]) for c in centers]
+    cy = [_broadcast_tile(c[1]) for c in centers]
+    cz = [_broadcast_tile(c[2]) for c in centers]
 
-        # Track the minimum signed value over all checks (collision iff < 0);
-        # f32 loop carries avoid Mosaic's vector-bool loop-carry limitation.
-        vmin = jnp.full((8, 128), jnp.float32(jnp.inf))
+    # Track the minimum signed value over all checks (collision iff < 0);
+    # f32 loop carries avoid Mosaic's vector-bool loop-carry limitation.
+    vmin = jnp.full((8, 128), jnp.float32(jnp.inf))
 
-        # --- environment: dynamic loop per shape, check-spheres unrolled ---
-        # parametric over the checked sphere set so end-effector attachment
-        # spheres reuse the same loops (reference fkcc_attach semantics)
-        def env_checks(vmin, xs_, ys_, zs_, rads_):
-            K = len(xs_)
+    # --- environment: dynamic loop per shape, check-spheres unrolled ---
+    # parametric over the checked sphere set so end-effector attachment
+    # spheres reuse the same loops (reference fkcc_attach semantics)
+    def env_checks(vmin, xs_, ys_, zs_, rads_):
+        K = len(xs_)
 
-            def sphere_body(n, m):
-                sx, sy, sz, sr = (sph_ref[0, n, i] for i in range(4))
-                for k in range(K):
-                    d2 = (xs_[k] - sx) ** 2 + (ys_[k] - sy) ** 2 + (zs_[k] - sz) ** 2
-                    rs = rads_[k] + sr
-                    m = jnp.minimum(m, d2 - rs * rs)
-                return m
+        def sphere_body(n, m):
+            sx, sy, sz, sr = (sph_ref[0, n, i] for i in range(4))
+            for k in range(K):
+                d2 = (xs_[k] - sx) ** 2 + (ys_[k] - sy) ** 2 + (zs_[k] - sz) ** 2
+                rs = rads_[k] + sr
+                m = jnp.minimum(m, d2 - rs * rs)
+            return m
 
-            def capsule_body(n, m, z_aligned):
-                ref = zcap_ref if z_aligned else cap_ref
-                x1, y1, z1, xv, yv, zv, r, rdv = (ref[0, n, i] for i in range(8))
-                for k in range(K):
-                    if z_aligned:
-                        dot = (zs_[k] - z1) * zv
-                    else:
-                        dot = (xs_[k] - x1) * xv + (ys_[k] - y1) * yv + (zs_[k] - z1) * zv
-                    t = jnp.clip(dot * rdv, 0.0, 1.0)
-                    if z_aligned:
-                        d2 = (xs_[k] - x1) ** 2 + (ys_[k] - y1) ** 2 + (zs_[k] - (z1 + zv * t)) ** 2
-                    else:
-                        d2 = (
-                            (xs_[k] - (x1 + xv * t)) ** 2
-                            + (ys_[k] - (y1 + yv * t)) ** 2
-                            + (zs_[k] - (z1 + zv * t)) ** 2
-                        )
-                    rs = rads_[k] + r
-                    m = jnp.minimum(m, d2 - rs * rs)
-                return m
-
-            def cuboid_body(n, m, z_aligned):
-                ref = zcub_ref if z_aligned else cub_ref
-                (bx, by, bz, a1x, a1y, a1z, a2x, a2y, a2z, a3x, a3y, a3z, h1, h2, h3) = (
-                    ref[0, n, i] for i in range(15)
-                )
-                for k in range(K):
-                    xo, yo, zo = xs_[k] - bx, ys_[k] - by, zs_[k] - bz
-                    if z_aligned:
-                        p1 = jnp.maximum(jnp.abs(a1x * xo + a1y * yo) - h1, 0.0)
-                        p2 = jnp.maximum(jnp.abs(a2x * xo + a2y * yo) - h2, 0.0)
-                        p3 = jnp.maximum(jnp.abs(zo) - h3, 0.0)
-                    else:
-                        p1 = jnp.maximum(jnp.abs(a1x * xo + a1y * yo + a1z * zo) - h1, 0.0)
-                        p2 = jnp.maximum(jnp.abs(a2x * xo + a2y * yo + a2z * zo) - h2, 0.0)
-                        p3 = jnp.maximum(jnp.abs(a3x * xo + a3y * yo + a3z * zo) - h3, 0.0)
-                    d2 = p1 * p1 + p2 * p2 + p3 * p3
-                    m = jnp.minimum(m, d2 - rads_[k] * rads_[k])
-                return m
-
-            if counts["spheres"]:
-                vmin = jax.lax.fori_loop(0, counts["spheres"], sphere_body, vmin)
-            if counts["capsules"]:
-                vmin = jax.lax.fori_loop(
-                    0, counts["capsules"], lambda n, m: capsule_body(n, m, False), vmin
-                )
-            if counts["z_capsules"]:
-                vmin = jax.lax.fori_loop(
-                    0, counts["z_capsules"], lambda n, m: capsule_body(n, m, True), vmin
-                )
-            if counts["cuboids"]:
-                vmin = jax.lax.fori_loop(
-                    0, counts["cuboids"], lambda n, m: cuboid_body(n, m, False), vmin
-                )
-            if counts["z_cuboids"]:
-                vmin = jax.lax.fori_loop(
-                    0, counts["z_cuboids"], lambda n, m: cuboid_body(n, m, True), vmin
-                )
-            return vmin
-
-        vmin = env_checks(vmin, cx, cy, cz, radii)
-
-        # --- self collision: exact pair table, fully unrolled --------------
-        for (i, j) in pairs:
-            d2 = (cx[i] - cx[j]) ** 2 + (cy[i] - cy[j]) ** 2 + (cz[i] - cz[j]) ** 2
-            vmin = jnp.minimum(vmin, d2 - pair_thr[(i, j)])
-
-        # --- end-effector attachment (reference fkcc_attach,
-        # panda.hh:15309-15345): pose the (pre-tf-composed) payload spheres
-        # from the EE frame, test vs environment and vs the robot's
-        # attachment-check sphere set; they also join the pointcloud /
-        # heightfield scan sets below.
-        A = counts.get("attach", 0)
-        acx, acy, acz, ar = [], [], [], []
-        if A:
-            att_ref = pc_refs[6]
-            Ree, tee = ee_pose
-            for a in range(A):
-                lx = att_ref[0, a, 0]
-                ly = att_ref[0, a, 1]
-                lz = att_ref[0, a, 2]
-                lr = att_ref[0, a, 3]
-                w = smat.vecadd(
-                    smat.matvec(Ree, [lx, ly, lz]), tee
-                )
-                acx.append(_broadcast_tile(w[0]))
-                acy.append(_broadcast_tile(w[1]))
-                acz.append(_broadcast_tile(w[2]))
-                ar.append(lr)
-            vmin = env_checks(vmin, acx, acy, acz, ar)
-            for a in range(A):
-                for kidx in [int(i) for i in spec.attachment_check_spheres]:
+        def capsule_body(n, m, z_aligned):
+            ref = zcap_ref if z_aligned else cap_ref
+            x1, y1, z1, xv, yv, zv, r, rdv = (ref[0, n, i] for i in range(8))
+            for k in range(K):
+                if z_aligned:
+                    dot = (zs_[k] - z1) * zv
+                else:
+                    dot = (xs_[k] - x1) * xv + (ys_[k] - y1) * yv + (zs_[k] - z1) * zv
+                t = jnp.clip(dot * rdv, 0.0, 1.0)
+                if z_aligned:
+                    d2 = (xs_[k] - x1) ** 2 + (ys_[k] - y1) ** 2 + (zs_[k] - (z1 + zv * t)) ** 2
+                else:
                     d2 = (
-                        (acx[a] - cx[kidx]) ** 2
-                        + (acy[a] - cy[kidx]) ** 2
-                        + (acz[a] - cz[kidx]) ** 2
+                        (xs_[k] - (x1 + xv * t)) ** 2
+                        + (ys_[k] - (y1 + yv * t)) ** 2
+                        + (zs_[k] - (z1 + zv * t)) ** 2
                     )
-                    rs = ar[a] + radii[kidx]
-                    vmin = jnp.minimum(vmin, d2 - rs * rs)
+                rs = rads_[k] + r
+                m = jnp.minimum(m, d2 - rs * rs)
+            return m
 
-        # --- staged dynamic sphere set (robot + attachment) -----------------
-        # Pointcloud and heightfield checks loop DYNAMICALLY over spheres
-        # (unrolling 59-111x explodes Mosaic compile time): centers are
-        # staged to a VMEM scratch and read back by index; per-sphere
-        # radius/class comes from a small SMEM table (stab_ref).
-        allx, ally, allz = cx + acx, cy + acy, cz + acz
-        ST = S + A
-        if counts.get("pc_chunks", 0) or counts.get("heightfields", 0):
-            for k in range(ST):
-                pc_scratch[k * 24 : k * 24 + 8, :] = allx[k]
-                pc_scratch[k * 24 + 8 : k * 24 + 16, :] = ally[k]
-                pc_scratch[k * 24 + 16 : k * 24 + 24, :] = allz[k]
+        def cuboid_body(n, m, z_aligned):
+            ref = zcub_ref if z_aligned else cub_ref
+            (bx, by, bz, a1x, a1y, a1z, a2x, a2y, a2z, a3x, a3y, a3z, h1, h2, h3) = (
+                ref[0, n, i] for i in range(15)
+            )
+            for k in range(K):
+                xo, yo, zo = xs_[k] - bx, ys_[k] - by, zs_[k] - bz
+                if z_aligned:
+                    p1 = jnp.maximum(jnp.abs(a1x * xo + a1y * yo) - h1, 0.0)
+                    p2 = jnp.maximum(jnp.abs(a2x * xo + a2y * yo) - h2, 0.0)
+                    p3 = jnp.maximum(jnp.abs(zo) - h3, 0.0)
+                else:
+                    p1 = jnp.maximum(jnp.abs(a1x * xo + a1y * yo + a1z * zo) - h1, 0.0)
+                    p2 = jnp.maximum(jnp.abs(a2x * xo + a2y * yo + a2z * zo) - h2, 0.0)
+                    p3 = jnp.maximum(jnp.abs(a3x * xo + a3y * yo + a3z * zo) - h3, 0.0)
+                d2 = p1 * p1 + p2 * p2 + p3 * p3
+                m = jnp.minimum(m, d2 - rads_[k] * rads_[k])
+            return m
 
-        # --- pointcloud: per-class certain-free bitmap + exact chunk scan ---
-        if counts.get("pc_chunks", 0):
-            from vamp_mvt_tpu.collision.pc_kernel import CS, MAX_CLASSES
+        if counts["spheres"]:
+            vmin = jax.lax.fori_loop(0, counts["spheres"], sphere_body, vmin)
+        if counts["capsules"]:
+            vmin = jax.lax.fori_loop(
+                0, counts["capsules"], lambda n, m: capsule_body(n, m, False), vmin
+            )
+        if counts["z_capsules"]:
+            vmin = jax.lax.fori_loop(
+                0, counts["z_capsules"], lambda n, m: capsule_body(n, m, True), vmin
+            )
+        if counts["cuboids"]:
+            vmin = jax.lax.fori_loop(
+                0, counts["cuboids"], lambda n, m: cuboid_body(n, m, False), vmin
+            )
+        if counts["z_cuboids"]:
+            vmin = jax.lax.fori_loop(
+                0, counts["z_cuboids"], lambda n, m: cuboid_body(n, m, True), vmin
+            )
+        return vmin
 
-            bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref = pc_refs[:6]
-            RROWS = counts["pc_rrows"]
-            wsx = pcm_ref[0, 0, 0]
-            wsy = pcm_ref[0, 0, 1]
-            wsz = pcm_ref[0, 0, 2]
-            inv = pcm_ref[0, 0, 3]
-            Wi = jnp.int32(pcm_ref[0, 0, 4])
-            pr = pcm_ref[0, 0, 5]
-            nch_live = jnp.int32(pcm_ref[0, 0, 6])
-            nsc_live = jnp.int32(pcm_ref[0, 0, 7])
+    vmin = env_checks(vmin, cx, cy, cz, radii)
 
-            HROW0 = MAX_CLASSES * RROWS  # start of the certain-hit row half
+    # --- self collision: exact pair table, fully unrolled --------------
+    for (i, j) in pairs:
+        d2 = (cx[i] - cx[j]) ** 2 + (cy[i] - cy[j]) ** 2 + (cz[i] - cz[j]) ** 2
+        vmin = jnp.minimum(vmin, d2 - pair_thr[(i, j)])
 
-            def sphere_body(k, vm):
-                cxk = pc_scratch[pl.ds(k * 24, 8), :]
-                cyk = pc_scratch[pl.ds(k * 24 + 8, 8), :]
-                czk = pc_scratch[pl.ds(k * 24 + 16, 8), :]
-                rk = stab_ref[0, k, 0]
-                cls = jnp.int32(stab_ref[0, k, 1])
-
-                vx = jnp.floor((cxk - wsx) * inv).astype(jnp.int32)
-                vy = jnp.floor((cyk - wsy) * inv).astype(jnp.int32)
-                vz = jnp.floor((czk - wsz) * inv).astype(jnp.int32)
-                ing = (
-                    (vx >= 0) & (vx < Wi) & (vy >= 0) & (vy < Wi)
-                    & (vz >= 0) & (vz < Wi)
+    # --- end-effector attachment (reference fkcc_attach,
+    # panda.hh:15309-15345): pose the (pre-tf-composed) payload spheres
+    # from the EE frame, test vs environment and vs the robot's
+    # attachment-check sphere set; they also join the pointcloud /
+    # heightfield scan sets below.
+    A = counts.get("attach", 0)
+    acx, acy, acz, ar = [], [], [], []
+    if A:
+        att_ref = pc_refs[6]
+        Ree, tee = ee_pose
+        for a in range(A):
+            lx = att_ref[0, a, 0]
+            ly = att_ref[0, a, 1]
+            lz = att_ref[0, a, 2]
+            lr = att_ref[0, a, 3]
+            w = smat.vecadd(
+                smat.matvec(Ree, [lx, ly, lz]), tee
+            )
+            acx.append(_broadcast_tile(w[0]))
+            acy.append(_broadcast_tile(w[1]))
+            acz.append(_broadcast_tile(w[2]))
+            ar.append(lr)
+        vmin = env_checks(vmin, acx, acy, acz, ar)
+        for a in range(A):
+            for kidx in [int(i) for i in spec.attachment_check_spheres]:
+                d2 = (
+                    (acx[a] - cx[kidx]) ** 2
+                    + (acy[a] - cy[kidx]) ** 2
+                    + (acz[a] - cz[kidx]) ** 2
                 )
-                widx = jnp.where(ing, vx * Wi + vy, 0)
-                lanei = widx % 128
-                rowi = widx // 128
-                word = jnp.zeros((8, 128), jnp.int32)
-                hword = jnp.zeros((8, 128), jnp.int32)
-                for rr in range(RROWS):
-                    rowv = jnp.broadcast_to(
-                        bm_ref[pl.ds(cls * RROWS + rr, 1), :], (8, 128)
-                    )
-                    g = jnp.take_along_axis(rowv, lanei, axis=1)
-                    word = jnp.where(rowi == rr, g, word)
-                    hrowv = jnp.broadcast_to(
-                        bm_ref[pl.ds(HROW0 + cls * RROWS + rr, 1), :], (8, 128)
-                    )
-                    hg = jnp.take_along_axis(hrowv, lanei, axis=1)
-                    hword = jnp.where(rowi == rr, hg, hword)
-                zsh = jnp.where(ing, vz, 0)
-                bit = (word >> zsh) & 1
-                # certain-hit lanes are decided right here (any center in the
-                # voxel collides); lanes whose vm is already negative are
-                # decided too.  Neither needs the exact scan — the pointcloud
-                # contribution is SIGN-exact, not value-exact (every consumer
-                # thresholds vmin >= 0).
-                chit = ing & (((hword >> zsh) & 1) == 1)
-                vm = jnp.minimum(
-                    vm, jnp.where(chit, jnp.float32(-1.0), jnp.float32(jnp.inf))
+                rs = ar[a] + radii[kidx]
+                vmin = jnp.minimum(vmin, d2 - rs * rs)
+
+    # --- staged dynamic sphere set (robot + attachment) -----------------
+    # Pointcloud and heightfield checks loop DYNAMICALLY over spheres
+    # (unrolling 59-111x explodes Mosaic compile time): centers are
+    # staged to a VMEM scratch and read back by index; per-sphere
+    # radius/class comes from a small SMEM table (stab_ref).
+    allx, ally, allz = cx + acx, cy + acy, cz + acz
+    ST = S + A
+    if counts.get("pc_chunks", 0) or counts.get("heightfields", 0):
+        for k in range(ST):
+            pc_scratch[k * 24 : k * 24 + 8, :] = allx[k]
+            pc_scratch[k * 24 + 8 : k * 24 + 16, :] = ally[k]
+            pc_scratch[k * 24 + 16 : k * 24 + 24, :] = allz[k]
+
+    # --- pointcloud: per-class certain-free bitmap + exact chunk scan ---
+    if counts.get("pc_chunks", 0):
+        from vamp_mvt_tpu.collision.pc_kernel import CS, MAX_CLASSES
+
+        bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref = pc_refs[:6]
+        RROWS = counts["pc_rrows"]
+        wsx = pcm_ref[0, 0, 0]
+        wsy = pcm_ref[0, 0, 1]
+        wsz = pcm_ref[0, 0, 2]
+        inv = pcm_ref[0, 0, 3]
+        Wi = jnp.int32(pcm_ref[0, 0, 4])
+        pr = pcm_ref[0, 0, 5]
+        nch_live = jnp.int32(pcm_ref[0, 0, 6])
+
+        HROW0 = MAX_CLASSES * RROWS  # start of the certain-hit row half
+
+        def sphere_body(k, vm):
+            cxk = pc_scratch[pl.ds(k * 24, 8), :]
+            cyk = pc_scratch[pl.ds(k * 24 + 8, 8), :]
+            czk = pc_scratch[pl.ds(k * 24 + 16, 8), :]
+            rk = stab_ref[0, k, 0]
+            cls = jnp.int32(stab_ref[0, k, 1])
+            chit_ok = stab_ref[0, k, 2] > 0.0
+            gate_ok = stab_ref[0, k, 3] > 0.0
+
+            vx = jnp.floor((cxk - wsx) * inv).astype(jnp.int32)
+            vy = jnp.floor((cyk - wsy) * inv).astype(jnp.int32)
+            vz = jnp.floor((czk - wsz) * inv).astype(jnp.int32)
+            ing = (
+                (vx >= 0) & (vx < Wi) & (vy >= 0) & (vy < Wi)
+                & (vz >= 0) & (vz < Wi)
+            )
+            widx = jnp.where(ing, vx * Wi + vy, 0)
+            lanei = widx % 128
+            rowi = widx // 128
+            word = jnp.zeros((8, 128), jnp.int32)
+            hword = jnp.zeros((8, 128), jnp.int32)
+            for rr in range(RROWS):
+                rowv = jnp.broadcast_to(
+                    bm_ref[pl.ds(cls * RROWS + rr, 1), :], (8, 128)
                 )
-                alive = vm >= 0.0
-                if lane_mask is not None:
-                    # caller-declared dead lanes (stale edge rows, padding
-                    # jobs): their validity is never read, so they must not
-                    # flag spheres into the exact scan
-                    alive = alive & lane_mask
-                maybe = ((~ing) | (bit == 1)) & alive
+                g = jnp.take_along_axis(rowv, lanei, axis=1)
+                word = jnp.where(rowi == rr, g, word)
+                hrowv = jnp.broadcast_to(
+                    bm_ref[pl.ds(HROW0 + cls * RROWS + rr, 1), :], (8, 128)
+                )
+                hg = jnp.take_along_axis(hrowv, lanei, axis=1)
+                hword = jnp.where(rowi == rr, hg, hword)
+            zsh = jnp.where(ing, vz, 0)
+            bit = (word >> zsh) & 1
+            # certain-hit lanes are decided right here (any center in the
+            # voxel collides); lanes whose vm is already negative are
+            # decided too.  Neither needs the exact scan — the pointcloud
+            # contribution is SIGN-exact, not value-exact (every consumer
+            # thresholds vmin >= 0).  chit_ok gates out spheres whose
+            # radius is below the class UPPER radius the hit bits were
+            # built with (attachments, bucketed classes) — for those the
+            # bits would falsely mark free configurations as colliding.
+            chit = ing & (((hword >> zsh) & 1) == 1) & chit_ok
+            vm = jnp.minimum(
+                vm, jnp.where(chit, jnp.float32(-1.0), jnp.float32(jnp.inf))
+            )
+            alive = vm >= 0.0
+            if lane_mask is not None:
+                # caller-declared dead lanes (stale edge rows, padding
+                # jobs): their validity is never read, so they must not
+                # flag spheres into the exact scan
+                alive = alive & lane_mask
+            # gate_ok=False (radius above every class radius): the
+            # certain-free bits are built for a smaller sphere and prove
+            # nothing — always take the exact scan
+            maybe = ((~ing) | (bit == 1) | (~gate_ok)) & alive
 
-                thr = rk + pr
-                thr2 = thr * thr
-                any_maybe = jnp.sum(maybe.astype(jnp.float32)) > 0.0
-                nch_k = jnp.where(any_maybe, nch_live, 0)
-                if pc_phase == 0:
-                    # live data dependency (cannot change the sign of vm, so
-                    # decisions are unaffected) so the gate being timed is not
-                    # dead-code-eliminated
-                    return jnp.minimum(
-                        vm, jnp.where(any_maybe, jnp.float32(1e30), jnp.float32(5e29))
+            thr = rk + pr
+            thr2 = thr * thr
+            any_maybe = jnp.sum(maybe.astype(jnp.float32)) > 0.0
+            nch_k = jnp.where(any_maybe, nch_live, 0)
+            if pc_phase == 0:
+                # live data dependency (cannot change the sign of vm, so
+                # decisions are unaffected) so the gate being timed is not
+                # dead-code-eliminated
+                return jnp.minimum(
+                    vm, jnp.where(any_maybe, jnp.float32(1e30), jnp.float32(5e29))
+                )
+
+            def scan_one(c, vmc):
+                # exact scan of chunk c (unrolled static lanes; points
+                # live in SMEM — per-point scalar loads from VMEM were
+                # measured as ~93% of pointcloud plan wall, phase 5 vs 4)
+                out = vmc
+                for s2 in range(CS):
+                    px = pt_ref[0, c, s2]
+                    py = pt_ref[0, c, CS + s2]
+                    pz = pt_ref[0, c, 2 * CS + s2]
+                    d2p = (
+                        (cxk - px) ** 2 + (cyk - py) ** 2 + (czk - pz) ** 2
                     )
+                    out = jnp.minimum(out, d2p - thr2)
+                return out
 
-                def scan_one(c, vmc):
-                    # exact scan of chunk c (unrolled static lanes; points
-                    # live in SMEM — per-point scalar loads from VMEM were
-                    # measured as ~93% of pointcloud plan wall, phase 5 vs 4)
+            if pc_phase in (2, 4):
+                # PRODUCTION: flat full chunk scan for gate-flagged
+                # spheres.  Chunk-bound filtering was measured SLOWER on
+                # the real suite (planner tiles sweep enough space that
+                # nearly every chunk bound passes for some lane, so the
+                # bound pass + list indirection only add overhead:
+                # 15.3s vs 11.9s plan wall on 200 problems).  Phase 4 is
+                # kept as an alias for the profiling tools.
+                return jax.lax.fori_loop(0, nch_k, scan_one, vm)
+
+            if pc_phase == 5:
+                # full chunk scan with SYNTHESIZED point values (no VMEM
+                # point loads): isolates scalar-load cost vs vector
+                # compute in scan_one.  Timing only — results garbage.
+                def scan_nomem(c, vmc):
                     out = vmc
+                    cf = c.astype(jnp.float32)
                     for s2 in range(CS):
-                        px = pt_ref[0, c, s2]
-                        py = pt_ref[0, c, CS + s2]
-                        pz = pt_ref[0, c, 2 * CS + s2]
+                        px = cf * 1e-3 + float(s2)
+                        py = cf * 2e-3 + float(s2) * 0.5
+                        pz = cf * 3e-3 + float(s2) * 0.25
                         d2p = (
-                            (cxk - px) ** 2 + (cyk - py) ** 2 + (czk - pz) ** 2
+                            (cxk - px) ** 2 + (cyk - py) ** 2
+                            + (czk - pz) ** 2
                         )
-                        out = jnp.minimum(out, d2p - thr2)
+                        out = jnp.minimum(out, jnp.abs(d2p - thr2) + 1.0)
                     return out
 
-                if pc_phase in (2, 4):
-                    # PRODUCTION: flat full chunk scan for gate-flagged
-                    # spheres.  Chunk-bound filtering was measured SLOWER on
-                    # the real suite (planner tiles sweep enough space that
-                    # nearly every chunk bound passes for some lane, so the
-                    # bound pass + list indirection only add overhead:
-                    # 15.3s vs 11.9s plan wall on 200 problems).  Phase 4 is
-                    # kept as an alias for the profiling tools.
-                    return jax.lax.fori_loop(0, nch_k, scan_one, vm)
+                return jax.lax.fori_loop(0, nch_k, scan_nomem, vm)
 
-                if pc_phase == 5:
-                    # full chunk scan with SYNTHESIZED point values (no VMEM
-                    # point loads): isolates scalar-load cost vs vector
-                    # compute in scan_one.  Timing only — results garbage.
-                    def scan_nomem(c, vmc):
-                        out = vmc
-                        cf = c.astype(jnp.float32)
-                        for s2 in range(CS):
-                            px = cf * 1e-3 + float(s2)
-                            py = cf * 2e-3 + float(s2) * 0.5
-                            pz = cf * 3e-3 + float(s2) * 0.25
-                            d2p = (
-                                (cxk - px) ** 2 + (cyk - py) ** 2
-                                + (czk - pz) ** 2
-                            )
-                            out = jnp.minimum(out, jnp.abs(d2p - thr2) + 1.0)
-                        return out
+            # profiling-only bound pass (phase 1): sweeps every chunk
+            # bound once, compacting hit-chunk indices into an SMEM list.
+            # Production does NOT use it (see phase 2 above).
+            def bound_chunk(c, cnt):
+                bx = ch_ref[c, 0]
+                by = ch_ref[c, 1]
+                bz = ch_ref[c, 2]
+                br = ch_ref[c, 3]
+                bd2 = (cxk - bx) ** 2 + (cyk - by) ** 2 + (czk - bz) ** 2
+                rb = thr + br + 1e-4
+                hit = maybe & (bd2 <= rb * rb)
+                any_hit = jnp.sum(hit.astype(jnp.float32)) > 0.0
 
-                    return jax.lax.fori_loop(0, nch_k, scan_nomem, vm)
+                @pl.when(any_hit)
+                def _():
+                    pc_list[0, cnt] = c
 
-                # profiling-only bound pass (phase 1): sweeps every chunk
-                # bound once, compacting hit-chunk indices into an SMEM list.
-                # Production does NOT use it (see phase 2 above).
-                def bound_chunk(c, cnt):
-                    bx = ch_ref[c, 0]
-                    by = ch_ref[c, 1]
-                    bz = ch_ref[c, 2]
-                    br = ch_ref[c, 3]
-                    bd2 = (cxk - bx) ** 2 + (cyk - by) ** 2 + (czk - bz) ** 2
-                    rb = thr + br + 1e-4
-                    hit = maybe & (bd2 <= rb * rb)
-                    any_hit = jnp.sum(hit.astype(jnp.float32)) > 0.0
+                return cnt + any_hit.astype(jnp.int32)
 
-                    @pl.when(any_hit)
-                    def _():
-                        pc_list[0, cnt] = c
+            cnt = jax.lax.fori_loop(0, nch_k, bound_chunk, jnp.int32(0))
+            # phase 1: bound pass only; live dep, sign-preserving (phase 0)
+            return jnp.minimum(
+                vm, jnp.where(cnt > 0, jnp.float32(1e30), jnp.float32(5e29))
+            )
 
-                    return cnt + any_hit.astype(jnp.int32)
+        vmin = jax.lax.fori_loop(0, ST, sphere_body, vmin)
 
-                cnt = jax.lax.fori_loop(0, nch_k, bound_chunk, jnp.int32(0))
-                # phase 1: bound pass only; live dep, sign-preserving (phase 0)
-                return jnp.minimum(
-                    vm, jnp.where(cnt > 0, jnp.float32(1e30), jnp.float32(5e29))
-                )
+    # --- heightfields (reference sphere_heightfield.hh:8-30): map world
+    # xy to a grid cell, chained lane-gather of the height, compare the
+    # sphere bottom.  Same staged dynamic sphere loop as the pointcloud.
+    if counts.get("heightfields", 0):
+        NH = counts["heightfields"]
+        HR = counts["hf_rows"]
+        stab_ref = pc_refs[5]
+        hfm_ref, hfd_ref = pc_refs[7], pc_refs[8]
 
-            vmin = jax.lax.fori_loop(0, ST, sphere_body, vmin)
+        def hf_sphere(k, vm):
+            cxk = pc_scratch[pl.ds(k * 24, 8), :]
+            cyk = pc_scratch[pl.ds(k * 24 + 8, 8), :]
+            czk = pc_scratch[pl.ds(k * 24 + 16, 8), :]
+            rk = stab_ref[0, k, 0]
 
-        # --- heightfields (reference sphere_heightfield.hh:8-30): map world
-        # xy to a grid cell, chained lane-gather of the height, compare the
-        # sphere bottom.  Same staged dynamic sphere loop as the pointcloud.
-        if counts.get("heightfields", 0):
-            NH = counts["heightfields"]
-            HR = counts["hf_rows"]
-            stab_ref = pc_refs[5]
-            hfm_ref, hfd_ref = pc_refs[7], pc_refs[8]
+            def hf_one(n, vmn):
+                m0 = hfm_ref[0, n, 0]
+                m1 = hfm_ref[0, n, 1]
+                m2 = hfm_ref[0, n, 2]
+                m3 = hfm_ref[0, n, 3]
+                m4 = hfm_ref[0, n, 4]
+                m5 = hfm_ref[0, n, 5]
+                m6 = hfm_ref[0, n, 6]
+                m7 = hfm_ref[0, n, 7]
+                m8 = hfm_ref[0, n, 8]
+                m9 = hfm_ref[0, n, 9]
+                xo = m0 - cxk
+                yo = m1 - cyk
+                ccx = jnp.floor(jnp.clip(m3 * xo + m8, 0.0, m6))
+                ccy = jnp.floor(jnp.clip(m4 * yo + m9, 0.0, m7))
+                idx = (ccy * m6 + ccx).astype(jnp.int32)
+                idx = jnp.clip(idx, 0, HR * 128 - 1)
+                lanei = idx % 128
+                rowi = idx // 128
+                zh = jnp.zeros((8, 128), jnp.float32)
+                for rr in range(HR):
+                    rowv = jnp.broadcast_to(
+                        hfd_ref[pl.ds(n * HR + rr, 1), :], (8, 128)
+                    )
+                    g = jnp.take_along_axis(rowv, lanei, axis=1)
+                    zh = jnp.where(rowi == rr, g, zh)
+                zhs = m5 * zh + m2
+                return jnp.minimum(vmn, czk - rk - zhs)
 
-            def hf_sphere(k, vm):
-                cxk = pc_scratch[pl.ds(k * 24, 8), :]
-                cyk = pc_scratch[pl.ds(k * 24 + 8, 8), :]
-                czk = pc_scratch[pl.ds(k * 24 + 16, 8), :]
-                rk = stab_ref[0, k, 0]
+            return jax.lax.fori_loop(0, NH, hf_one, vm)
 
-                def hf_one(n, vmn):
-                    m0 = hfm_ref[0, n, 0]
-                    m1 = hfm_ref[0, n, 1]
-                    m2 = hfm_ref[0, n, 2]
-                    m3 = hfm_ref[0, n, 3]
-                    m4 = hfm_ref[0, n, 4]
-                    m5 = hfm_ref[0, n, 5]
-                    m6 = hfm_ref[0, n, 6]
-                    m7 = hfm_ref[0, n, 7]
-                    m8 = hfm_ref[0, n, 8]
-                    m9 = hfm_ref[0, n, 9]
-                    xo = m0 - cxk
-                    yo = m1 - cyk
-                    ccx = jnp.floor(jnp.clip(m3 * xo + m8, 0.0, m6))
-                    ccy = jnp.floor(jnp.clip(m4 * yo + m9, 0.0, m7))
-                    idx = (ccy * m6 + ccx).astype(jnp.int32)
-                    idx = jnp.clip(idx, 0, HR * 128 - 1)
-                    lanei = idx % 128
-                    rowi = idx // 128
-                    zh = jnp.zeros((8, 128), jnp.float32)
-                    for rr in range(HR):
-                        rowv = jnp.broadcast_to(
-                            hfd_ref[pl.ds(n * HR + rr, 1), :], (8, 128)
-                        )
-                        g = jnp.take_along_axis(rowv, lanei, axis=1)
-                        zh = jnp.where(rowi == rr, g, zh)
-                    zhs = m5 * zh + m2
-                    return jnp.minimum(vmn, czk - rk - zhs)
+        vmin = jax.lax.fori_loop(0, ST, hf_sphere, vmin)
 
-                return jax.lax.fori_loop(0, NH, hf_one, vm)
-
-            vmin = jax.lax.fori_loop(0, ST, hf_sphere, vmin)
-
-        return vmin
+    return vmin
 
 
 def _make_kernel(spec: RobotSpec, counts: dict[str, int],
@@ -518,7 +524,7 @@ def _run(spec, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab, att,
             smem_spec(pt.shape[-2], pt.shape[-1]),
             vmem_spec(su.shape[-2], 8),
             smem_spec(1, 8),
-            smem_spec(stab.shape[-2], 2),
+            smem_spec(stab.shape[-2], stab.shape[-1]),
             smem_spec(att.shape[-2], 4),
             smem_spec(hfm.shape[-2], 10),
             vmem_spec(hfd.shape[-2], 128),
@@ -550,16 +556,29 @@ _STAB_CACHE: dict[int, np.ndarray] = {}
 
 
 def _sphere_table(spec: RobotSpec) -> np.ndarray:
-    """(S, 2) float table: per-sphere radius and radius-class index."""
+    """(S, 4) float table: per-sphere radius, radius-class index, and the two
+    bitmap-soundness flags (see collision/pc_kernel.py):
+      col 2 `chit_ok`: 1 iff radius >= class upper radius, so the class's
+        certain-HIT bits (built with the class UPPER radius) apply — a sphere
+        strictly smaller than its class radius may not actually hit where the
+        class-radius sphere does;
+      col 3 `gate_ok`: 1 iff radius <= the largest class radius, so the
+        certain-FREE bits of the assigned class are a sound gate (a larger
+        radius would need a class that doesn't exist — such spheres must
+        always take the exact scan)."""
     key = id(spec)
     if key not in _STAB_CACHE:
         from vamp_mvt_tpu.collision.pc_kernel import radius_classes, sphere_class
 
         cls_radii = radius_classes(np.asarray(spec.sphere_radius))
-        tab = np.zeros((spec.n_spheres, 2), np.float32)
+        tab = np.zeros((spec.n_spheres, 4), np.float32)
         for k in range(spec.n_spheres):
-            tab[k, 0] = float(spec.sphere_radius[k])
-            tab[k, 1] = sphere_class(float(spec.sphere_radius[k]), cls_radii)
+            r = float(spec.sphere_radius[k])
+            c = sphere_class(r, cls_radii)
+            tab[k, 0] = r
+            tab[k, 1] = c
+            tab[k, 2] = 1.0 if r >= float(cls_radii[c]) - 1e-6 else 0.0
+            tab[k, 3] = 1.0 if r <= float(cls_radii[-1]) + 1e-7 else 0.0
         _STAB_CACHE[key] = tab
     return _STAB_CACHE[key]
 
@@ -609,18 +628,24 @@ def _pc_arrays(spec: RobotSpec, env: Environment):
 
     has_pc = env.pck is not None
     # sphere table: robot rows (static) + attachment rows (traced radius,
-    # class from the robot's radius-class edges)
+    # class from the robot's radius-class edges, soundness flags per
+    # _sphere_table — an attachment radius below its class radius must not
+    # inherit the class's certain-HIT bits, and one above the largest class
+    # radius has no sound certain-FREE gate at all)
     stab = jnp.broadcast_to(
-        jnp.asarray(_sphere_table(spec)), lead + (spec.n_spheres, 2)
+        jnp.asarray(_sphere_table(spec)), lead + (spec.n_spheres, 4)
     )
     if has_att:
         cr = jnp.asarray(radius_classes(np.asarray(spec.sphere_radius)))
         arad = att[..., 3:4]
-        acls = jnp.argmax(
-            cr >= arad - 1e-7, axis=-1, keepdims=True
-        ).astype(jnp.float32)
+        acls_i = jnp.argmax(cr >= arad - 1e-7, axis=-1, keepdims=True)
+        acls = acls_i.astype(jnp.float32)
+        cr_sel = jnp.take(cr, acls_i[..., 0], axis=0)[..., None]
+        achit = (arad >= cr_sel - 1e-6).astype(jnp.float32)
+        agate = (arad <= cr[-1] + 1e-7).astype(jnp.float32)
         stab = jnp.concatenate(
-            [stab, jnp.concatenate([arad, acls], axis=-1)], axis=-2
+            [stab, jnp.concatenate([arad, acls, achit, agate], axis=-1)],
+            axis=-2,
         )
     if has_pc:
         pk = env.pck

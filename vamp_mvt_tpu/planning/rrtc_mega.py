@@ -24,8 +24,12 @@ step, dynamic-domain sample-window prefilter, balanced trees, greedy connect
 with partial progress.  Numerical differences vs the XLA path are limited to
 floating-point reduction order in the NN distances.
 
-Path recovery and the straight-line direct-goal check stay outside the kernel
-(they are one-shot XLA programs; see plan_batch_mega).
+The kernel also walks the parent chains at the end and exports ONLY the
+solution path rows (max_path x 128 per problem) — the (M, 128) node buffer
+never leaves VMEM.  The straight-line direct-goal check and path
+reversal/padding stay outside (one-shot XLA programs; see plan_batch_mega).
+The sample budget (reference max_iterations) is a runtime scalar, so an
+initial solve and a 32x-budget straggler retry share one compiled program.
 """
 
 from __future__ import annotations
@@ -42,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from vamp_mvt_tpu.collision.environment import Environment
 from vamp_mvt_tpu.ops.kernels.fkcc_pallas import tile_vmin, _pad_rows
 from vamp_mvt_tpu.planning import validate as validate_mod
-from vamp_mvt_tpu.planning.rrtc import RRTCResult, RRTCSettings, _walk
+from vamp_mvt_tpu.planning.rrtc import RRTCResult, RRTCSettings
 from vamp_mvt_tpu.robots.spec import RobotSpec
 from vamp_mvt_tpu.sampling.halton import PRIMES, _digit_counts
 
@@ -143,8 +147,9 @@ def _kernel_config(spec: RobotSpec, s: RRTCSettings, G: int):
     M = s.max_samples
     CH = min(M, 256)      # NN chunk rows: scan ceil(n_nodes/CH) chunks per step
     assert M % CH == 0 and M % 8 == 0
+    PP = max(8 * ((s.max_path + 7) // 8), 8)  # path rows (sublane-padded)
     return dict(d=d, dp=dp, K=K, C=C, W=W, KW=KW, E=E, Erow=Erow, N=N, P=P,
-                R=R, EPT=EPT, NT=NT, M=M, G=G, CH=CH, C0=C0)
+                R=R, EPT=EPT, NT=NT, M=M, G=G, CH=CH, C0=C0, PP=PP)
 
 
 def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict):
@@ -166,12 +171,13 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
         bool(PM & 1), bool(PM & 2), bool(PM & 4), bool(PM & 8), bool(PM & 16)
     )
     PCP = int(getattr(s, "pc_phase", 2))  # profiling only (see rrtc.py)
+    PPATH = s.max_path
     lin, lrad = dp, dp + 1  # meta lanes: in_start flag, dynamic-domain radius
     def kernel(ctl_ref, nodes0_ref, sph_ref, cap_ref, zcap_ref, cub_ref,
                zcub_ref, bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref,
-               att_ref, hfm_ref, hfd_ref, cfg_hbm, par_out, scal_out,
-               buf_out, cvec_scr, cnt_scr, escr, rscr, pc_scr, pcl_scr,
-               dma_sem):
+               att_ref, hfm_ref, hfd_ref, path_out, scal_out,
+               buf_out, par_scr, cvec_scr, cnt_scr, escr, rscr, pc_scr,
+               pcl_scr):
         # buf_out row layout: lanes 0..d-1 = configuration, lane lin =
         # in_start flag, lane lrad = dynamic-domain radius, rest zero.
         env_refs = (sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref)
@@ -195,12 +201,16 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             buf_out[i : i + 1, :] = nodes0_ref[0, i : i + 1, :]
             # only the root rows need parent init: every other row that the
             # path walker can reach is written at insert time (rows past
-            # n_nodes are never read by the finalizer)
-            par_out[0, 0, i] = jnp.int32(i)
+            # n_nodes are never read by the path export)
+            par_scr[0, i] = jnp.int32(i)
 
         n_goals = ctl_ref[0, 0, 2]
         any_direct = ctl_ref[0, 0, 1]
         sample_offset = ctl_ref[0, 0, 0]
+        # sample budget is a RUNTIME scalar (reference max_iterations
+        # semantics): plan and straggler-retry calls share one compiled
+        # program, differing only in this value
+        max_iter = ctl_ref[0, 0, 3]
 
         # ------------------------------ loop ------------------------------
         # carry: (iters, sample_idx, n_nodes, size_start, size_goal,
@@ -230,7 +240,7 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
         def cond(c):
             iters, _, n_nodes, *_rest = c
             connect, done = c[6], c[10]
-            budget = (iters < s.max_iterations) | (connect > 0)
+            budget = (iters < max_iter) | (connect > 0)
             return (done == 0) & budget & (n_nodes < M)
 
         def body(c):
@@ -538,7 +548,7 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                         lane128 == lin, af,
                         jnp.where(lane128 == lrad, _BIG, seg128),
                     )
-                    par_out[0, 0, pos] = jnp.where(
+                    par_scr[0, pos] = jnp.where(
                         ci == 0, c_tip, pos - 1
                     )
 
@@ -566,7 +576,7 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                         lane128 == lin, af,
                         jnp.where(lane128 == lrad, _BIG, new128[k : k + 1, :]),
                     )
-                    par_out[0, 0, pos] = jnp.int32(escr[k, 0])
+                    par_scr[0, pos] = jnp.int32(escr[k, 0])
 
                 # dynamic-domain radius update on the nearest node
                 if dyn:
@@ -694,21 +704,46 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
         scal_out[0, 0, 9] = n_gsteps
         scal_out[0, 0, 10] = n_csteps
 
-        # copy the live node rows to the HBM output (chunked DMA; rows past
-        # n_nodes stay uninitialized and are never read by the finalizer)
-        b = pl.program_id(0)
+        # --- path export: walk both parent chains and write the node rows
+        # directly into the (PP, 128) path output, at exactly the positions
+        # rrtc._recover_path scatters to (chain A root..junction at rows
+        # 0..la-1, chain B junction..root at rows la..la+lb-1); reversal,
+        # direct overrides, and tail padding stay in the XLA finalizer.
+        # Exporting ~la+lb rows replaces DMA-ing the whole (M, 128) node
+        # buffer per problem, which dominated both HBM footprint
+        # (B*M*128*4 bytes) and the result-gather phase.
+        def walk_len(junc):
+            # mirror rrtc._walk: cap at max_path, length = first root hit + 1
+            def body(i, carry):
+                cur, length = carry
+                at_root = par_scr[0, cur] == cur
+                length = jnp.where((length < 0) & at_root, i + 1, length)
+                return par_scr[0, cur], length
 
-        def dma_chunk(cidx, _):
-            cp = pltpu.make_async_copy(
-                buf_out.at[pl.ds(cidx * CH, CH), :],
-                cfg_hbm.at[b, pl.ds(cidx * CH, CH), :],
-                dma_sem,
+            _, L = jax.lax.fori_loop(
+                0, PPATH, body, (junc, jnp.int32(-1))
             )
-            cp.start()
-            cp.wait()
-            return 0
+            return jnp.maximum(L, 1)
 
-        jax.lax.fori_loop(0, (n_nodes + CH - 1) // CH, dma_chunk, 0)
+        la = walk_len(junc_a)
+        lb = walk_len(junc_b)
+
+        def copy_a(k, cur):
+            path_out[pl.ds(la - 1 - k, 1), :] = buf_out[pl.ds(cur, 1), :]
+            return par_scr[0, cur]
+
+        jax.lax.fori_loop(0, la, copy_a, junc_a)
+
+        def copy_b(k, cur):
+            @pl.when(la + k < PPATH)
+            def _():
+                path_out[pl.ds(la + k, 1), :] = buf_out[pl.ds(cur, 1), :]
+
+            return par_scr[0, cur]
+
+        jax.lax.fori_loop(0, lb, copy_b, junc_b)
+        scal_out[0, 0, 11] = la
+        scal_out[0, 0, 12] = lb
 
     return kernel
 
@@ -743,14 +778,14 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
     def smem_spec(n, f):
         return pl.BlockSpec((1, n, f), lambda b: (b, 0, 0), memory_space=pltpu.SMEM)
 
+    PP = cfg["PP"]
     out_shapes = (
-        jax.ShapeDtypeStruct((B, M, 128), jnp.float32),
-        jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
+        jax.ShapeDtypeStruct((B, PP, 128), jnp.float32),
         jax.ShapeDtypeStruct((B, 1, 16), jnp.int32),
     )
     out_specs = (
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec((1, 1, M), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((None, PP, 128), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 16), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
     )
     return pl.pallas_call(
@@ -772,7 +807,7 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
             pl.BlockSpec((None, su.shape[-2], 8), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             smem_spec(1, 8),
-            smem_spec(stab.shape[-2], 2),
+            smem_spec(stab.shape[-2], stab.shape[-1]),
             smem_spec(att.shape[-2], 4),
             smem_spec(hfm.shape[-2], 10),
             pl.BlockSpec((None, hfd.shape[-2], 128), lambda b: (b, 0, 0),
@@ -782,6 +817,7 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((M, 128), jnp.float32),    # node buffer (configs+meta)
+            pltpu.SMEM((1, M), jnp.int32),        # parents
             pltpu.VMEM((8, 128), jnp.float32),    # cvec: connect increment
             pltpu.VMEM((8, 128), jnp.float32),    # cnt: per-edge valid counts
             pltpu.VMEM((cfg["Erow"], 128), jnp.float32),  # escr: per-edge scalars
@@ -791,7 +827,6 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
                 jnp.float32,
             ),  # staged sphere centers (pointcloud / heightfield loops)
             pltpu.SMEM((1, max(counts["pc_chunks"], 1)), jnp.int32),
-            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(ctl, nodes0, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab,
@@ -799,24 +834,23 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _finalize_mega(spec, settings, configs, parents, scal, starts, goals,
+def _finalize_mega(spec, settings, paths, scal, starts, goals,
                    any_direct, first_direct):
-    """Path recovery + direct overrides, vmapped over problems (XLA)."""
+    """Direct overrides + path reversal/padding, vmapped over problems (XLA).
+
+    The parent-chain walk happens IN the kernel (rows 0..la-1 = chain A
+    root..junction, la..la+lb-1 = chain B junction..root); rows past
+    la+lb hold garbage and are masked here exactly as the old scatter did."""
     P = settings.max_path
     d = spec.dimension
 
-    def one(cfg_b, par_b, sc_b, start, goal_set, adirect, fdirect):
+    def one(path_b, sc_b, start, goal_set, adirect, fdirect):
         solved = sc_b[0] > 0
-        junc_a, junc_b, a_j = sc_b[1], sc_b[2], sc_b[3]
-        chain_a, la = _walk(par_b, junc_a, P)
-        chain_b, lb = _walk(par_b, junc_b, P)
+        a_j = sc_b[3]
+        la, lb = sc_b[11], sc_b[12]
         total = la + lb
         k = jnp.arange(P)
-        path = jnp.zeros((P, d), jnp.float32)
-        pos_a = jnp.where(k < la, la - 1 - k, P + 1)
-        path = path.at[pos_a].set(cfg_b[chain_a, :d], mode="drop")
-        pos_b = jnp.where(k < lb, la + k, P + 1)
-        path = path.at[pos_b].set(cfg_b[chain_b, :d], mode="drop")
+        path = path_b[:P, :d]
 
         def rev(p):
             flipped = jnp.flip(p, axis=0)
@@ -846,7 +880,7 @@ def _finalize_mega(spec, settings, configs, parents, scal, starts, goals,
         )
 
     return jax.vmap(one)(
-        configs, parents[:, 0], scal[:, 0], starts, goals, any_direct, first_direct
+        paths, scal[:, 0], starts, goals, any_direct, first_direct
     )
 
 
@@ -859,6 +893,7 @@ def plan_batch_mega(
     settings: RRTCSettings,
     sample_offsets: jnp.ndarray | None = None,
     interpret: bool | None = None,
+    budget: jnp.ndarray | int | None = None,
 ) -> RRTCResult:
     """Solve a batch with the planner megakernel (one grid step per problem).
 
@@ -866,6 +901,10 @@ def plan_batch_mega(
     faster on TPU because finished problems stop instantly and all state is
     chip-resident.  On CPU backends runs in Pallas interpreter mode (slow;
     tests only).
+
+    budget overrides settings.max_iterations AT RUNTIME (scalar or (B,)):
+    a straggler retry at 32x budget reuses the exact compiled program of the
+    initial call instead of compiling a second megakernel.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -899,21 +938,26 @@ def plan_batch_mega(
         lanei[None, None] == dp, in_start[None, :, None],
         jnp.where(lanei[None, None] == dp + 1, _BIG, nodes0),
     )
+    if budget is None:
+        budget = settings.max_iterations
     ctl = jnp.zeros((B, 1, 8), jnp.int32)
     ctl = ctl.at[:, 0, 0].set(jnp.asarray(sample_offsets, jnp.int32))
     ctl = ctl.at[:, 0, 1].set(any_direct.astype(jnp.int32))
     ctl = ctl.at[:, 0, 2].set(jnp.sum(goal_masks.astype(jnp.int32), axis=1))
+    ctl = ctl.at[:, 0, 3].set(
+        jnp.broadcast_to(jnp.asarray(budget, jnp.int32), (B,))
+    )
 
     from vamp_mvt_tpu.ops.kernels.fkcc_pallas import _pc_arrays
 
     bm, ch, pt, su, pcm, stab, att, hfm, hfd, flags = _pc_arrays(spec, envs)
-    configs, parents, scal = _run_mega(
+    paths, scal = _run_mega(
         spec, settings, ctl, nodes0,
         envs.spheres, envs.capsules, envs.z_capsules, envs.cuboids,
         envs.z_cuboids, bm, ch, pt, su, pcm, stab, att, hfm, hfd, flags,
         interpret,
     )
     return _finalize_mega(
-        spec, settings, configs, parents, scal, starts, goals,
+        spec, settings, paths, scal, starts, goals,
         any_direct, first_direct,
     )

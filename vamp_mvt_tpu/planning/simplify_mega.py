@@ -388,7 +388,7 @@ def _run(spec, settings, ctl, paths, sph, cap, zcap, cub, zcub,
             pl.BlockSpec((None, su.shape[-2], 8), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             smem_spec(1, 8),
-            smem_spec(stab.shape[-2], 2),
+            smem_spec(stab.shape[-2], stab.shape[-1]),
             smem_spec(att.shape[-2], 4),
             smem_spec(hfm.shape[-2], 10),
             pl.BlockSpec((None, hfd.shape[-2], 128), lambda b: (b, 0, 0),

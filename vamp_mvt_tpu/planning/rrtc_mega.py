@@ -98,25 +98,28 @@ def _lane_cumsum(v: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-def _halton_cols(spec: RobotSpec, idx_col: jnp.ndarray, KW: int) -> list[jnp.ndarray]:
-    """Per-dimension Halton radical inverses as (KW, 1) f32 columns.
+def _halton_rows(spec: RobotSpec, idx_row: jnp.ndarray) -> list[jnp.ndarray]:
+    """Per-dimension Halton radical inverses as (1, 128) f32 ROWS.
 
-    Bit-identical to sampling/halton.py (same int digit recurrence, same
-    final single f32 division).
+    Bit-identical to sampling/halton.py (same int digit recurrence with
+    constant bases — divisions strength-reduce — and the same final single
+    f32 division).  Row layout matters: the old (KW, 1) column layout
+    spread every op over 16 vregs at 1/128 lane utilization, making
+    sampling ~15% of the planner step; rows are one vreg per op.
     """
     d = spec.dimension
     counts = _digit_counts(d)
-    cols = []
+    rows = []
     for j in range(d):
         b = PRIMES[j]
-        i = idx_col
-        n = jnp.zeros_like(idx_col)
+        i = idx_row
+        n = jnp.zeros_like(idx_row)
         for _ in range(counts[j]):
             n = n * b + i % b
             i = i // b
         denom = float(b ** counts[j])
-        cols.append(n.astype(jnp.float32) * (1.0 / denom))
-    return cols
+        rows.append(n.astype(jnp.float32) * (1.0 / denom))
+    return rows
 
 
 def _kernel_config(spec: RobotSpec, s: RRTCSettings, G: int):
@@ -172,11 +175,14 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
     )
     PCP = int(getattr(s, "pc_phase", 2))  # profiling only (see rrtc.py)
     PPATH = s.max_path
-    lin, lrad = dp, dp + 1  # meta lanes: in_start flag, dynamic-domain radius
+    # meta lanes: in_start flag, dynamic-domain radius, parent index (f32,
+    # exact for indices < 2^24; written by the insert block stores and read
+    # back by the path-export walk)
+    lin, lrad, lpar = dp, dp + 1, dp + 2
     def kernel(ctl_ref, nodes0_ref, sph_ref, cap_ref, zcap_ref, cub_ref,
                zcub_ref, bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref,
                att_ref, hfm_ref, hfd_ref, path_out, scal_out,
-               buf_out, par_scr, cvec_scr, cnt_scr, escr, rscr, pc_scr,
+               buf_out, cvec_scr, cnt_scr, escr, rscr, pc_scr,
                pcl_scr):
         # buf_out row layout: lanes 0..d-1 = configuration, lane lin =
         # in_start flag, lane lrad = dynamic-domain radius, rest zero.
@@ -194,15 +200,12 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
         # the one-hot nearest-config matmul contracts over whole node-buffer
         # chunks: uninitialized rows would poison it (0 * NaN = NaN), unlike
         # the where-masked NN scans, so zero the buffer once per problem
-        buf_out[:, :] = jnp.zeros((M, 128), jnp.float32)
+        buf_out[:, :] = jnp.zeros((M + 32, 128), jnp.float32)
         # node 0 = start (start tree), nodes 1..G = goals (goal tree);
-        # nodes0 rows arrive with LIN/LRAD lanes preset host-side
+        # nodes0 rows arrive with LIN/LRAD/LPAR lanes preset host-side
+        # (roots are their own parents)
         for i in range(1 + G):
             buf_out[i : i + 1, :] = nodes0_ref[0, i : i + 1, :]
-            # only the root rows need parent init: every other row that the
-            # path walker can reach is written at insert time (rows past
-            # n_nodes are never read by the path export)
-            par_scr[0, i] = jnp.int32(i)
 
         n_goals = ctl_ref[0, 0, 2]
         any_direct = ctl_ref[0, 0, 1]
@@ -263,26 +266,32 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             a_is = jnp.where(do_swap, 1 - a_is_start, a_is_start)
             af = a_is.astype(jnp.float32)
 
-            # --- KW Halton samples, scaled to joint limits: SAMP (KW->128, dp)
+            # --- KW Halton samples, scaled to joint limits: SAMP — computed
+            # in ROW layout, lane = sample index (see _halton_rows).  Lanes
+            # past KW hold out-of-window samples nothing reads: the NN uses
+            # the first KW lanes, and the one-hot compaction never selects a
+            # rank past K (ranks only accrue on live lanes).
             if P_SAMP:
-                idx_col = (
-                    jax.lax.broadcasted_iota(jnp.int32, (KW, 1), 0) + sample_idx
+                idx_row = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) + sample_idx
                 )
-                ucols = _halton_cols(spec, idx_col, KW)
-                scols = [u * spans[j] + lows[j] for j, u in enumerate(ucols)]
-                scols += [jnp.zeros((KW, 1), jnp.float32)] * (dp - d)
-                samp = jnp.concatenate(scols, axis=1)  # (KW, dp)
+                urows = _halton_rows(spec, idx_row)
+                srows = [u * spans[j] + lows[j] for j, u in enumerate(urows)]
             else:
-                samp = jnp.zeros((KW, dp), jnp.float32) + (
-                    sample_idx.astype(jnp.float32) * 1e-8
-                )
+                srows = [
+                    jnp.zeros((1, 128), jnp.float32)
+                    + sample_idx.astype(jnp.float32) * 1e-8
+                    for _ in range(d)
+                ]
+            srows += [jnp.zeros((1, 128), jnp.float32)] * (dp - d)
+            sampH = jnp.concatenate(srows, axis=0)     # (dp, 128) dim-major
 
             # --- NN of samples against tree_a, chunked over the live tree
             # prefix (ceil(n_nodes/CH) chunks instead of the full M-row
             # buffer; tie-break = smallest node index, exactly the full-scan
             # semantics because chunks combine with strict <).  Skipped
             # entirely (0 chunks) in connect mode — samples are unused there.
-            qrows_a = [_col_to_row(samp[:, j : j + 1], KW) for j in range(d)]
+            qrows_a = [srows[j][:, :KW] for j in range(d)]
 
             def nn_a_chunk(cidx, carry):
                 bd, bi, br = carry                        # (1, KW) f32 each
@@ -326,7 +335,7 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                     ),
                 )
             else:
-                bd_a = jnp.full((1, KW), 0.25, jnp.float32) + samp[0, 0] * 0.0
+                bd_a = jnp.full((1, KW), 0.25, jnp.float32) + sampH[0, 0] * 0.0
                 nearest_row = jnp.zeros((1, KW), jnp.float32)
                 nrad_row = jnp.full((1, KW), _BIG, jnp.float32)
             ndist_row = jnp.sqrt(bd_a)
@@ -355,8 +364,14 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             sel = (chosen_b & (rank_b == (krow_col + 1).astype(jnp.float32))).astype(
                 jnp.float32
             )                                                  # (Erow, 128)
-            samp128 = jnp.pad(samp, ((0, 128 - KW), (0, 0))) if KW < 128 else samp
-            samp_sel = _dotx(sel, samp128)
+            # contract sel's lane dim against sampH's lane dim (the MXU's
+            # rhs-transposed mode): avoids materializing a (128, dp) sample
+            # matrix from the row-layout Halton values
+            samp_sel = jax.lax.dot_general(
+                sel, sampH, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )                                                  # (Erow, dp)
             near_idx_col = _dotx(sel, _row_to_col(pad(nearest_row), 128))                                                  # (Erow, 1)
             ndist_col = _dotx(sel, _row_to_col(ndist128, 128))
 
@@ -509,104 +524,154 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                 oidx_row = jnp.zeros((1, Erow), jnp.float32)
             od_row = jnp.sqrt(bd_b)
 
-            # --- stage per-edge scalars for the bookkeeping loop
-            escr[:, 1:2] = nrad_col = _dotx(sel, _row_to_col(nrad128, 128))
-            rscr[0:1, 0:Erow] = oidx_row
-            rscr[1:2, 0:Erow] = od_row
+            nrad_col = _dotx(sel, _row_to_col(nrad128, 128))
 
-            # ====================== scalar bookkeeping ======================
-            def edge_ok(e):
-                te = e // EPT
-                s_e = (e - te * EPT) % 8
-                g_e = (e - te * EPT) // 8
-                return cnt_scr[s_e, te * R + g_e] == float(P)
+            # =================== vectorized bookkeeping =====================
+            # The per-edge insert/dd/candidate logic runs in the VECTOR
+            # domain: validity flags are extracted from the count tile with
+            # one masked matmul, insert ranks and the connect prefix come
+            # from one lower-triangular cumsum matmul, and the inserted rows
+            # are compacted by a one-hot matmul and written with ONE
+            # contiguous block store per mode.  (The previous per-edge
+            # scalar loop — ~90 VMEM scalar reads + ~50 dynamic single-row
+            # writes — was the largest per-step cost at ~4.8 µs.)  Only the
+            # dynamic-domain radius writes stay scalar-addressed (arbitrary
+            # target rows).  Parent indices live in node-row lane `lpar`,
+            # written as part of the same block stores.
 
-            # connect-prefix inserts FIRST (segments are edges C0..C0+C-1) so
-            # chain node positions stay contiguous from n_nodes even when the
-            # interleaved grow part inserts in the same step
+            # per-edge validity from the (8, NT*R) count tile: row e of
+            # sub_sel @ cnt picks sublane e%8; the column mask picks the
+            # edge's tile column t*R+g
+            e_i0 = jax.lax.broadcasted_iota(jnp.int32, (Erow, 8), 0)
+            e_i1 = jax.lax.broadcasted_iota(jnp.int32, (Erow, 8), 1)
+            sub_sel = ((e_i0 % 8) == e_i1).astype(jnp.float32)
+            c_i0 = jax.lax.broadcasted_iota(jnp.int32, (Erow, 128), 0)
+            c_i1 = jax.lax.broadcasted_iota(jnp.int32, (Erow, 128), 1)
+            col_of_e = (c_i0 // EPT) * R + (c_i0 % EPT) // 8
+            colmask = c_i1 == col_of_e
+            cntA = _dotx(sub_sel, cnt_scr[:, :])               # (Erow, 128)
+            cnt_col = jnp.sum(
+                jnp.where(colmask, cntA, 0.0), axis=1, keepdims=True
+            )
+            ok_col = cnt_col == float(P)                       # (Erow, 1)
+
+            # connect prefix (edges C0..C0+C-1): cumprod of binary flags ==
+            # (inclusive cumsum == local position + 1)
             attempted_c = jnp.minimum(C, c_rem)
             if not P_BOOK:
                 attempted_c = attempted_c * 0
-            c_ins = jnp.int32(0)
-            c_prefix_open = jnp.int32(1)
-            prefix = jnp.int32(0)
-            for ci in range(C):
-                seg_active = do_conn & (ci < attempted_c)
-                ok_c = edge_ok(C0 + ci)
-                advancing = seg_active & (c_prefix_open > 0) & ok_c
-                prefix = prefix + advancing.astype(jnp.int32)
-                c_prefix_open = jnp.where(
-                    seg_active & ((c_prefix_open == 0) | (~ok_c)), 0, c_prefix_open
-                )
-                pos = n_nodes + c_ins
-                insc = advancing & (pos < M)
+            n_acc_eff = jnp.where(do_grow, n_acc, 0)
+            if not P_BOOK:
+                n_acc_eff = n_acc_eff * 0
+            is_conn_row = row_iota_col >= C0
+            eff_col = (
+                is_conn_row & ((row_iota_col - C0) < jnp.where(do_conn, attempted_c, 0))
+                & ok_col
+            ).astype(jnp.float32)
+            ins0_col = (is_grow_row & (row_iota_col < n_acc_eff) & ok_col).astype(
+                jnp.float32
+            )
+            lt_i0 = jax.lax.broadcasted_iota(jnp.int32, (Erow, Erow), 0)
+            lt_i1 = jax.lax.broadcasted_iota(jnp.int32, (Erow, Erow), 1)
+            LT = (lt_i1 <= lt_i0).astype(jnp.float32)
+            cums = _dotx(LT, jnp.concatenate([ins0_col, eff_col], axis=1))
+            rank_col, cume_col = cums[:, 0:1], cums[:, 1:2]
+            advancing_col = (eff_col > 0.0) & (
+                cume_col == (row_iota_col - C0 + 1).astype(jnp.float32)
+            )
+            prefix = jnp.int32(jnp.sum(advancing_col.astype(jnp.float32)))
+            room_c = jnp.maximum(M - n_nodes, 0)
+            c_ins = jnp.minimum(prefix, room_c)
 
-                @pl.when(insc)
-                def _(ci=ci, pos=pos):
-                    seg128 = tip128 + inc128 * jnp.float32(ci + 1)
-                    buf_out[pl.ds(pos, 1), :] = jnp.where(
-                        lane128 == lin, af,
-                        jnp.where(lane128 == lrad, _BIG, seg128),
-                    )
-                    par_scr[0, pos] = jnp.where(
-                        ci == 0, c_tip, pos - 1
-                    )
+            # connect insert rows ci=0..C-1 at positions n_nodes+ci: one
+            # (8, 128) tile (row ci = tip + inc*(ci+1) with meta lanes set),
+            # rows past c_ins zeroed, ONE dynamic block store
+            sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            sub8f = sub8.astype(jnp.float32)
+            nn_f = n_nodes.astype(jnp.float32)
+            crows = tip128 + inc128 * (sub8f + 1.0)
+            cpar = jnp.where(sub8 == 0, c_tip.astype(jnp.float32), nn_f + sub8f - 1.0)
+            crows = jnp.where(
+                lane128 == lin, af,
+                jnp.where(lane128 == lrad, _BIG,
+                          jnp.where(lane128 == lpar, cpar, crows)),
+            )
+            crows = jnp.where(sub8 < c_ins, crows, 0.0)
 
-                c_ins = c_ins + insc.astype(jnp.int32)
+            @pl.when(do_conn & (attempted_c > 0))
+            def _():
+                buf_out[pl.ds(n_nodes, 8), :] = crows
 
-            # grow inserts + dd updates + connect-entry candidate tracking
-            n_ins = jnp.int32(0)
-            best_od = _BIG
-            best_other = jnp.int32(0)
-            best_pos = jnp.int32(0)
-            best_tip = jnp.zeros((1, 128), jnp.float32)
-            any_ins = jnp.int32(0)
+            # grow insert rows: compact the inserted edges to ranks 0..n_ins-1
+            # with a one-hot matmul, ONE dynamic block store at the base
+            gbase = n_nodes + c_ins
+            ins_col = (ins0_col > 0.0) & (
+                gbase + rank_col.astype(jnp.int32) - 1 < M
+            )
+            insf_col = ins_col.astype(jnp.float32)
+            n_ins = jnp.int32(jnp.sum(insf_col))
             new128 = jnp.pad(new_cfg, ((0, 0), (0, 128 - dp)))
-            for k in range(K):
-                attempted = do_grow & (k < n_acc)
-                if not P_BOOK:
-                    attempted = attempted & False
-                ok_k = edge_ok(k)
-                pos = n_nodes + c_ins + n_ins
-                ins = attempted & ok_k & (pos < M)
+            NEW = jnp.where(
+                lane128 == lin, af,
+                jnp.where(lane128 == lrad, _BIG,
+                          jnp.where(lane128 == lpar,
+                                    jnp.broadcast_to(near_idx_col, (Erow, 128)),
+                                    new128)),
+            )
+            selrank_col = jnp.where(ins_col, rank_col, 0.0)
+            selrank_row = _col_to_row(selrank_col, Erow)       # (1, Erow)
+            KB = max(8 * ((K + 7) // 8), 8)
+            kb_i0 = jax.lax.broadcasted_iota(jnp.int32, (KB, Erow), 0)
+            selins = (
+                jnp.broadcast_to(selrank_row, (KB, Erow))
+                == (kb_i0 + 1).astype(jnp.float32)
+            ).astype(jnp.float32)
+            comp = _dotx(selins, NEW)                          # (KB, 128)
 
-                @pl.when(ins)
-                def _(k=k, pos=pos):
-                    buf_out[pl.ds(pos, 1), :] = jnp.where(
-                        lane128 == lin, af,
-                        jnp.where(lane128 == lrad, _BIG, new128[k : k + 1, :]),
-                    )
-                    par_scr[0, pos] = jnp.int32(escr[k, 0])
+            @pl.when(do_grow & (n_acc_eff > 0))
+            def _():
+                buf_out[pl.ds(gbase, KB), :] = comp
 
-                # dynamic-domain radius update on the nearest node
-                if dyn:
-                    nidx = jnp.int32(escr[k, 0])
-                    rad = escr[k, 1]
-                    inf_r = rad > _BIG * 0.5
-                    ok_upd = jnp.where(inf_r, rad, rad * (1.0 + s.alpha))
-                    fail_upd = jnp.where(
-                        inf_r,
-                        jnp.float32(s.radius),
-                        jnp.maximum(rad * (1.0 - s.alpha), s.min_radius),
-                    )
-                    new_r = jnp.where(ok_k, ok_upd, fail_upd)
+            # dynamic-domain radius updates: new radii from the PRE-step
+            # nearest radii (vector), written back as full pre-gathered rows
+            # (near_all) with only the radius lane replaced — K dynamic
+            # single-row stores (arbitrary rows; the one inherently
+            # scattered write left)
+            if dyn:
+                inf_r = nrad_col > _BIG * 0.5
+                ok_upd = jnp.where(inf_r, nrad_col, nrad_col * (1.0 + s.alpha))
+                fail_upd = jnp.where(
+                    inf_r,
+                    jnp.float32(s.radius),
+                    jnp.maximum(nrad_col * (1.0 - s.alpha), s.min_radius),
+                )
+                newr_col = jnp.where(ok_col, ok_upd, fail_upd)
+                dd_rows = jnp.where(
+                    lane128 == lrad, jnp.broadcast_to(newr_col, (Erow, 128)),
+                    near_all,
+                )
+                # escr[:, 0] already holds near_idx_col (staged for the
+                # one-hot config gather above)
+                for k in range(K):
+                    attempted = do_grow & (k < n_acc_eff)
 
                     @pl.when(attempted)
-                    def _(nidx=nidx, new_r=new_r):
-                        mrow = buf_out[pl.ds(nidx, 1), :]
-                        buf_out[pl.ds(nidx, 1), :] = jnp.where(
-                            lane128 == lrad, new_r, mrow
-                        )
+                    def _(k=k):
+                        nidx = jnp.int32(escr[k, 0])
+                        buf_out[pl.ds(nidx, 1), :] = dd_rows[k : k + 1, :]
 
-                # track most promising inserted node for connect entry
-                od_k = rscr[1, k]
-                better = ins & (od_k < best_od)
-                best_od = jnp.where(better, od_k, best_od)
-                best_other = jnp.where(better, jnp.int32(rscr[0, k]), best_other)
-                best_pos = jnp.where(better, pos, best_pos)
-                best_tip = jnp.where(better, new128[k : k + 1, :], best_tip)
-                any_ins = jnp.where(ins, 1, any_ins)
-                n_ins = n_ins + ins.astype(jnp.int32)
+            # most promising inserted node for connect entry: min over the
+            # other-tree distances of inserted edges, tie-break = lowest edge
+            ins_row = selrank_row > 0.5                        # (1, Erow)
+            odm = jnp.where(ins_row, od_row, _BIG)
+            best_od = jnp.min(odm)
+            lane_er = jax.lax.broadcasted_iota(jnp.int32, (1, Erow), 1)
+            best_lane = jnp.min(jnp.where(odm == best_od, lane_er, 10**9))
+            onehot = (lane_er == best_lane).astype(jnp.float32)
+            best_other = jnp.int32(jnp.sum(onehot * oidx_row))
+            best_pos = gbase + jnp.int32(jnp.sum(onehot * selrank_row)) - 1
+            best_tip = _dotx(onehot, new128)                   # (1, 128)
+            any_ins = n_ins
 
             n_ins_total = n_ins + c_ins  # modes are exclusive unless INTER
             n_nodes_new = n_nodes + n_ins_total
@@ -712,13 +777,20 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
         # Exporting ~la+lb rows replaces DMA-ing the whole (M, 128) node
         # buffer per problem, which dominated both HBM footprint
         # (B*M*128*4 bytes) and the result-gather phase.
+        def parent_of(row128):
+            # parent index lives in lane lpar of the node row (f32, exact)
+            return jnp.int32(
+                jnp.sum(jnp.where(lane128 == lpar, row128, 0.0))
+            )
+
         def walk_len(junc):
             # mirror rrtc._walk: cap at max_path, length = first root hit + 1
             def body(i, carry):
                 cur, length = carry
-                at_root = par_scr[0, cur] == cur
+                par = parent_of(buf_out[pl.ds(cur, 1), :])
+                at_root = par == cur
                 length = jnp.where((length < 0) & at_root, i + 1, length)
-                return par_scr[0, cur], length
+                return par, length
 
             _, L = jax.lax.fori_loop(
                 0, PPATH, body, (junc, jnp.int32(-1))
@@ -729,17 +801,20 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
         lb = walk_len(junc_b)
 
         def copy_a(k, cur):
-            path_out[pl.ds(la - 1 - k, 1), :] = buf_out[pl.ds(cur, 1), :]
-            return par_scr[0, cur]
+            row = buf_out[pl.ds(cur, 1), :]
+            path_out[pl.ds(la - 1 - k, 1), :] = row
+            return parent_of(row)
 
         jax.lax.fori_loop(0, la, copy_a, junc_a)
 
         def copy_b(k, cur):
+            row = buf_out[pl.ds(cur, 1), :]
+
             @pl.when(la + k < PPATH)
             def _():
-                path_out[pl.ds(la + k, 1), :] = buf_out[pl.ds(cur, 1), :]
+                path_out[pl.ds(la + k, 1), :] = row
 
-            return par_scr[0, cur]
+            return parent_of(row)
 
         jax.lax.fori_loop(0, lb, copy_b, junc_b)
         scal_out[0, 0, 11] = la
@@ -816,8 +891,9 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((M, 128), jnp.float32),    # node buffer (configs+meta)
-            pltpu.SMEM((1, M), jnp.int32),        # parents
+            # node buffer (configs + meta lanes incl. parent); +32 rows so
+            # the fixed-width insert block stores never clip at capacity
+            pltpu.VMEM((M + 32, 128), jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),    # cvec: connect increment
             pltpu.VMEM((8, 128), jnp.float32),    # cnt: per-edge valid counts
             pltpu.VMEM((cfg["Erow"], 128), jnp.float32),  # escr: per-edge scalars
@@ -934,9 +1010,13 @@ def plan_batch_mega(
     )
     lanei = jnp.arange(128)
     in_start = (jnp.arange(1 + G) == 0).astype(jnp.float32)  # (1+G,)
+    self_par = jnp.arange(1 + G, dtype=jnp.float32)          # roots: own parent
     nodes0 = jnp.where(
         lanei[None, None] == dp, in_start[None, :, None],
-        jnp.where(lanei[None, None] == dp + 1, _BIG, nodes0),
+        jnp.where(
+            lanei[None, None] == dp + 1, _BIG,
+            jnp.where(lanei[None, None] == dp + 2, self_par[None, :, None], nodes0),
+        ),
     )
     if budget is None:
         budget = settings.max_iterations

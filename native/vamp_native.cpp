@@ -91,8 +91,29 @@ int vamp_scdf_filter(const float* pts, int n, float min_dist, float max_range,
             }
             keyed.emplace_back(morton3(c0, c1, c2), id);
         }
-        std::stable_sort(keyed.begin(), keyed.end(),
-                         [](const auto& a, const auto& b) { return a.first < b.first; });
+        // stable LSD radix sort on the 30-bit Morton key (3 x 10-bit
+        // passes): same order as stable_sort, ~4x faster at filter sizes
+        {
+            static thread_local std::vector<std::pair<uint32_t, uint32_t>> tmp;
+            tmp.resize(keyed.size());
+            uint32_t cnt[1024];
+            auto* src = &keyed;
+            auto* dst = &tmp;
+            for (int shift = 0; shift < 30; shift += 10) {
+                std::memset(cnt, 0, sizeof(cnt));
+                for (const auto& kv : *src) ++cnt[(kv.first >> shift) & 1023];
+                uint32_t run = 0;
+                for (int b = 0; b < 1024; ++b) {
+                    const uint32_t c = cnt[b];
+                    cnt[b] = run;
+                    run += c;
+                }
+                for (const auto& kv : *src)
+                    (*dst)[cnt[(kv.first >> shift) & 1023]++] = kv;
+                std::swap(src, dst);
+            }
+            if (src != &keyed) keyed.swap(tmp);
+        }
         idx.clear();
         const float* last = pts + 3 * keyed.front().second;
         idx.push_back(keyed.front().second);
@@ -331,6 +352,44 @@ int vamp_capt_build(const float* pts_in, int n, float r_min, float r_max,
     }
 
     return overflow ? -1 : aff_total;
+}
+
+// Per-voxel min SQUARED distance from voxel center to any point, windowed:
+// each point only updates voxels within `win` cells (Chebyshev) of its own
+// voxel.  A voxel outside every point's window has true center distance
+// > win*cell (the point lies inside its voxel, so the per-axis gap is at
+// least (g-1)*cell for Chebyshev grid distance g >= win+1); callers size
+// `win` so win*cell exceeds the largest radius they threshold against, which
+// makes the windowed result exact for every threshold they use.  Replaces a
+// KDTree query over all W^3 centers (vamp_mvt_tpu/collision/pc_kernel.py),
+// which was the pointcloud-suite build-time dominator.
+void vamp_voxel_mindist2(const float* pts, int n, const float* wmin,
+                         float cell, int W, int win, float* out) {
+    const float inv = 1.0f / cell;
+    const long total = (long)W * W * W;
+    for (long i = 0; i < total; ++i) out[i] = INFINITY;
+    for (int k = 0; k < n; ++k) {
+        const float px = pts[3 * k], py = pts[3 * k + 1], pz = pts[3 * k + 2];
+        int vx = (int)std::floor((px - wmin[0]) * inv);
+        int vy = (int)std::floor((py - wmin[1]) * inv);
+        int vz = (int)std::floor((pz - wmin[2]) * inv);
+        const int x0 = std::max(vx - win, 0), x1 = std::min(vx + win, W - 1);
+        const int y0 = std::max(vy - win, 0), y1 = std::min(vy + win, W - 1);
+        const int z0 = std::max(vz - win, 0), z1 = std::min(vz + win, W - 1);
+        for (int x = x0; x <= x1; ++x) {
+            const float dx = wmin[0] + (x + 0.5f) * cell - px;
+            for (int y = y0; y <= y1; ++y) {
+                const float dy = wmin[1] + (y + 0.5f) * cell - py;
+                const float dxy = dx * dx + dy * dy;
+                float* row = out + ((long)x * W + y) * W;
+                for (int z = z0; z <= z1; ++z) {
+                    const float dz = wmin[2] + (z + 0.5f) * cell - pz;
+                    const float d2 = dxy + dz * dz;
+                    if (d2 < row[z]) row[z] = d2;
+                }
+            }
+        }
+    }
 }
 
 }  // extern "C"

@@ -97,22 +97,36 @@ def build_pc_kernel(
     words = np.zeros((2 * MAX_CLASSES, RROWS * 128), np.uint32)
 
     if len(points):
-        # exact point-to-voxel-center distances (KDTree): a sphere of class
-        # radius rho centered anywhere in voxel v is collision-free iff no
-        # point lies within rho + point_radius + half_diag of v's center, so
+        # exact point-to-voxel-center distances: a sphere of class radius
+        # rho centered anywhere in voxel v is collision-free iff no point
+        # lies within rho + point_radius + half_diag of v's center, so
         # bit=0 voxels are certainly free with only a half-diagonal margin.
         # Dually, if some point lies within rho + point_radius - half_diag,
         # EVERY center in v collides — the certain-hit rows decide those
         # lanes without the exact scan.
-        from scipy.spatial import cKDTree
+        #
+        # The largest radius ever thresholded is Rmax below; the native
+        # windowed scan (each point updates a (2*win+1)^3 voxel window)
+        # yields exact distances up to win*cell > Rmax and +inf beyond,
+        # which classifies identically to a full KDTree query at ~1/5 the
+        # build cost (the query over W^3 centers was the build dominator).
+        Rmax = float(np.max(class_radii)) + point_radius + half_diag
+        win = int(np.floor(Rmax / cell)) + 1
+        from vamp_mvt_tpu import native
 
-        ax = wmin[0] + (np.arange(W, dtype=np.float64) + 0.5) * cell
-        ay = wmin[1] + (np.arange(W, dtype=np.float64) + 0.5) * cell
-        az = wmin[2] + (np.arange(W, dtype=np.float64) + 0.5) * cell
-        centers = np.stack(
-            np.meshgrid(ax, ay, az, indexing="ij"), axis=-1
-        ).reshape(-1, 3)
-        dist = cKDTree(points).query(centers, workers=-1)[0].reshape(W, W, W)
+        d2grid = native.voxel_mindist2(points, wmin, cell, W, win)
+        if d2grid is not None:
+            dist = np.sqrt(d2grid, dtype=np.float32)
+        else:  # pure-python fallback
+            from scipy.spatial import cKDTree
+
+            ax = wmin[0] + (np.arange(W, dtype=np.float64) + 0.5) * cell
+            ay = wmin[1] + (np.arange(W, dtype=np.float64) + 0.5) * cell
+            az = wmin[2] + (np.arange(W, dtype=np.float64) + 0.5) * cell
+            centers = np.stack(
+                np.meshgrid(ax, ay, az, indexing="ij"), axis=-1
+            ).reshape(-1, 3)
+            dist = cKDTree(points).query(centers, workers=-1)[0].reshape(W, W, W)
 
         zshift = np.arange(W, dtype=np.uint32)
         for c, rho in enumerate(np.asarray(class_radii, np.float32)):

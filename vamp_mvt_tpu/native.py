@@ -56,6 +56,14 @@ def _load():
         f32p, ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_float,
         f32p, f32p, f32p, ctypes.c_int, i32p, f32p,
     ]
+    try:
+        lib.vamp_voxel_mindist2.restype = None
+        lib.vamp_voxel_mindist2.argtypes = [
+            f32p, ctypes.c_int, f32p, ctypes.c_float, ctypes.c_int,
+            ctypes.c_int, f32p,
+        ]
+    except AttributeError:  # stale .so from an earlier build
+        lib.vamp_voxel_mindist2 = None
     _lib = lib
     return _lib
 
@@ -95,6 +103,23 @@ def centervox_filter(pc, voxel_size, max_range, origin, wmin, wmax):
         out,
     )
     return pc[out[:cnt]]
+
+
+def voxel_mindist2(points, wmin, cell, W, win):
+    """Native windowed per-voxel min squared center distance; (W,W,W) f32
+    with +inf beyond every point's window (true distance > win*cell there).
+    Returns None if unavailable."""
+    lib = _load()
+    fn = getattr(lib, "vamp_voxel_mindist2", None) if lib is not None else None
+    if fn is None:
+        return None
+    points = np.ascontiguousarray(points, np.float32).reshape(-1, 3)
+    out = np.empty(W * W * W, np.float32)
+    fn(
+        points, len(points), np.ascontiguousarray(wmin, np.float32),
+        np.float32(cell), int(W), int(win), out,
+    )
+    return out.reshape(W, W, W)
 
 
 def capt_build_arrays(points, r_min, r_max, r_point):

@@ -6,7 +6,7 @@ prints the per-round median cost against the straight-line lower bound —
 the anytime-convergence counterpart of the reference's single-problem host
 loop (aorrtc.hh:431-487).
 
-Usage: python tools/bench_aorrtc.py [n_problems]
+Usage: python tools/bench_aorrtc.py [n_problems] [scenario]
 """
 
 import os
@@ -29,12 +29,13 @@ from vamp_mvt_tpu.robots import registry
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    scenario = sys.argv[2] if len(sys.argv) > 2 else "cage"
 
     spec = registry.load("panda")
     data = mbm.load_problems("panda")
-    problems = data["problems"]["cage"][:n]
+    problems = data["problems"][scenario][:n]
     envs, starts, goals, masks = mbm.build_batch(
-        problems, cache_key=f"aorrtc_{n}"
+        problems, cache_key=f"aorrtc_{scenario}_{n}"
     )
     valid = np.asarray(mbm._valid_fused(spec, envs, starts, goals, masks))
 
@@ -64,7 +65,7 @@ def main():
     g0 = np.asarray(goals)[:, 0]
     bound = np.linalg.norm(np.asarray(starts) - g0, axis=1)
 
-    print(f"{n} cage problems ({valid.sum()} valid, {ok.sum()} solved) "
+    print(f"{n} {scenario} problems ({valid.sum()} valid, {ok.sum()} solved) "
           f"in {dt:.1f}s wall")
     print("| round | median cost | median cost/bound |")
     print("|---|---|---|")

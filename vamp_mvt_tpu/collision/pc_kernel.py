@@ -49,7 +49,10 @@ class PCKernelData(NamedTuple):
                           #   the kernel decide deep-colliding lanes without
                           #   the exact scan (sign-exact; see tile_vmin).
     chunks: jnp.ndarray   # (NCH, 8) f32: bound cx, cy, cz, r, pad...
-    points: jnp.ndarray   # (NCH, 3*CS) f32: x[CS], y[CS], z[CS]
+    points: jnp.ndarray   # (NCH, 3*CS) f32 SMEM rows: x[CS], y[CS], z[CS]
+                          #   (scalar loads; vectorized variants — MXU
+                          #   matmul, lane gathers, sublane columns — were
+                          #   all MEASURED SLOWER, see PARITY round 5)
     supers: jnp.ndarray   # (1, 8) f32 dummy (superchunk hierarchy retired —
                           #   production uses the flat chunk scan)
     meta: jnp.ndarray     # (1, 8) f32: wsx, wsy, wsz, inv_scale, W,

@@ -331,9 +331,13 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
                 )
 
             def scan_one(c, vmc):
-                # exact scan of chunk c (unrolled static lanes; points
-                # live in SMEM — per-point scalar loads from VMEM were
-                # measured as ~93% of pointcloud plan wall, phase 5 vs 4)
+                # exact scan of chunk c (unrolled static lanes, points as
+                # SMEM scalar operands).  Three vectorized reformulations
+                # were MEASURED SLOWER on the real suite (PARITY round 5):
+                # an MXU matmul over (128,8) point tiles (15.0 problems/s),
+                # take_along_axis lane-broadcast gathers (27.7), and
+                # sublane point columns against config rows (53.8) — vs
+                # 64.6 for this scalar form with the bbox prune below.
                 out = vmc
                 for s2 in range(CS):
                     px = pt_ref[0, c, s2]
@@ -346,14 +350,51 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
                 return out
 
             if pc_phase in (2, 4):
-                # PRODUCTION: flat full chunk scan for gate-flagged
-                # spheres.  Chunk-bound filtering was measured SLOWER on
-                # the real suite (planner tiles sweep enough space that
-                # nearly every chunk bound passes for some lane, so the
-                # bound pass + list indirection only add overhead:
-                # 15.3s vs 11.9s plan wall on 200 problems).  Phase 4 is
-                # kept as an alias for the profiling tools.
-                return jax.lax.fori_loop(0, nch_k, scan_one, vm)
+                # PRODUCTION: maybe-lane-bbox chunk pruning + scalar scan
+                # (measured best of four scan structures, PARITY round 5).
+                # The prune is a SCALAR test of each chunk's bounding
+                # sphere against the axis-aligned bbox of the MAYBE lanes
+                # only (inflated by thr + chunk radius — a sound superset:
+                # a chunk point within thr of a maybe lane forces the
+                # chunk center inside the inflated bbox).  Unlike the
+                # rejected per-lane VECTOR bound pass (r4: 15.3 s vs
+                # 11.9 s), this costs no vector work per chunk and keys on
+                # the (small) maybe set, not all 1024 lanes: 53.9 -> 64.6
+                # problems/s on the full pointcloud suite.  Skipped chunks
+                # cannot flip any sign: their points are > thr from every
+                # maybe lane, and all other lanes are already decided (the
+                # pointcloud contribution is sign-exact).
+                mb = maybe
+                x0 = jnp.min(jnp.where(mb, cxk, jnp.float32(1e30)))
+                x1 = jnp.max(jnp.where(mb, cxk, jnp.float32(-1e30)))
+                y0 = jnp.min(jnp.where(mb, cyk, jnp.float32(1e30)))
+                y1 = jnp.max(jnp.where(mb, cyk, jnp.float32(-1e30)))
+                z0 = jnp.min(jnp.where(mb, czk, jnp.float32(1e30)))
+                z1 = jnp.max(jnp.where(mb, czk, jnp.float32(-1e30)))
+
+                def bound_sel(c, cnt):
+                    bx = ch_ref[0, c, 0]
+                    by = ch_ref[0, c, 1]
+                    bz = ch_ref[0, c, 2]
+                    m = thr + ch_ref[0, c, 3]
+                    hit = (
+                        (bx >= x0 - m) & (bx <= x1 + m)
+                        & (by >= y0 - m) & (by <= y1 + m)
+                        & (bz >= z0 - m) & (bz <= z1 + m)
+                    )
+
+                    @pl.when(hit)
+                    def _():
+                        pc_list[0, cnt] = c
+
+                    return cnt + hit.astype(jnp.int32)
+
+                ncand = jax.lax.fori_loop(0, nch_k, bound_sel, jnp.int32(0))
+
+                def scan_sel(j, vmc):
+                    return scan_one(pc_list[0, j], vmc)
+
+                return jax.lax.fori_loop(0, ncand, scan_sel, vm)
 
             if pc_phase == 5:
                 # full chunk scan with SYNTHESIZED point values (no VMEM
@@ -379,10 +420,10 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
             # bound once, compacting hit-chunk indices into an SMEM list.
             # Production does NOT use it (see phase 2 above).
             def bound_chunk(c, cnt):
-                bx = ch_ref[c, 0]
-                by = ch_ref[c, 1]
-                bz = ch_ref[c, 2]
-                br = ch_ref[c, 3]
+                bx = ch_ref[0, c, 0]
+                by = ch_ref[0, c, 1]
+                bz = ch_ref[0, c, 2]
+                br = ch_ref[0, c, 3]
                 bd2 = (cxk - bx) ** 2 + (cyk - by) ** 2 + (czk - bz) ** 2
                 rb = thr + br + 1e-4
                 hit = maybe & (bd2 <= rb * rb)
@@ -520,7 +561,7 @@ def _run(spec, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab, att,
             smem_spec(max(counts["cuboids"], 1), 15),
             smem_spec(max(counts["z_cuboids"], 1), 15),
             vmem_spec(bm.shape[-2], 128),
-            vmem_spec(ch.shape[-2], 8),
+            smem_spec(ch.shape[-2], 8),
             smem_spec(pt.shape[-2], pt.shape[-1]),
             vmem_spec(su.shape[-2], 8),
             smem_spec(1, 8),

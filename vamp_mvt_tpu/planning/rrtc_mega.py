@@ -876,8 +876,7 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
             smem_spec(max(counts["z_cuboids"], 1), 15),
             pl.BlockSpec((None, bm.shape[-2], 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, ch.shape[-2], 8), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            smem_spec(ch.shape[-2], 8),
             smem_spec(pt.shape[-2], pt.shape[-1]),
             pl.BlockSpec((None, su.shape[-2], 8), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),

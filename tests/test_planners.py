@@ -127,6 +127,40 @@ def test_aox_respects_cost_bound():
         _check_segments(spec, env, np.asarray(r1.path)[: int(r1.path_length)])
 
 
+def test_aox_unbounded_sentinel_is_sound():
+    """Regression (round 5): with a huge "unbounded" max_cost sentinel, the
+    augmented metric squared (bound - cost) and overflowed f32 to inf,
+    collapsing the masked argmins to node 0 (the START) — AOX then joined
+    its connect chain back into the start tree and reported loop paths
+    (ending at the start, cost ~0) as solved.  The bound is now clamped to
+    an f32-safe magnitude and the connect target is gated on having any
+    eligible node.  A solved path must end at the goal and cost at least
+    the straight line."""
+    from vamp_mvt_tpu.planning import aox
+
+    spec = registry.sphere_spec(lows=(-3, -3, 0), highs=(3, 3, 3), radius=0.1)
+    env = _wall_env()
+    start = jnp.asarray([-2.0, 0.0, 1.0])
+    goal = jnp.asarray([[2.0, 0.0, 1.0]])
+    base = rrtc.RRTCSettings(range=1.0, max_iterations=1024, max_samples=1024,
+                             max_path=64)
+    fn = jax.jit(lambda e, s, g, m, mc: aox.solve(spec, e, s, g, m, base, mc))
+    lower = float(jnp.linalg.norm(goal[0] - start))
+    # the buggy code SOLVED the 1e30 case at exactly these settings with a
+    # loop path ending at the start (cost ~0); soundness must hold whether
+    # or not the clamped search finds a solution in budget
+    for mc in (1e30, 3.0 * lower):
+        r = fn(env, start, goal, jnp.asarray([True]), jnp.float32(mc))
+        if not bool(r.solved):
+            continue
+        L = int(r.path_length)
+        p = np.asarray(r.path)[:L]
+        assert np.linalg.norm(p[0] - np.asarray(start)) < 1e-5
+        assert np.linalg.norm(p[-1] - np.asarray(goal[0])) < 1e-5
+        assert float(r.cost) >= lower - 1e-4
+        _check_segments(spec, env, p)
+
+
 def test_aorrtc_aox_mode():
     spec = registry.sphere_spec(lows=(-3, -3, 0), highs=(3, 3, 3), radius=0.1)
     env = _wall_env()

@@ -64,6 +64,14 @@ def main():
     # straight-line lower bound per problem
     g0 = np.asarray(goals)[:, 0]
     bound = np.linalg.norm(np.asarray(starts) - g0, axis=1)
+    # no valid path can beat the straight line: a solved cost below it is a
+    # planner bug (caught one in round 5: f32 overflow of the 1e30 unsolved
+    # sentinel in the augmented metric made AOX join back into the start
+    # tree and report loop paths as solved)
+    below = ok & (np.asarray(res.cost) < bound - 1e-4)
+    assert not below.any(), (
+        f"solved costs below the straight-line bound: {np.flatnonzero(below)}"
+    )
 
     print(f"{n} {scenario} problems ({valid.sum()} valid, {ok.sum()} solved) "
           f"in {dt:.1f}s wall")

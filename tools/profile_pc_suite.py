@@ -2,7 +2,16 @@
 
 Runs run_suite_pointcloud on a suite subset once per pc_phase value
 (profiling-only knob; phases != 2 give wrong validity, so solve rates and
-costs are meaningless there — only plan_wall matters).  Attribution:
+costs are meaningless there — only plan_wall matters).
+
+CAVEAT (learned in round 5): because the wrong validity FEEDS BACK into
+planner control flow (problems "solve" instantly when collisions are
+missed), the phase walls are NOT a per-component cost attribution of the
+production kernel — phase 0/5 runs take far fewer planner steps.  Treat
+them as loose lower bounds only; A/B the production kernel on the full
+suite to evaluate scan changes (round 5: three vectorized scan variants
+all measured slower than the scalar scan despite phase 5 suggesting
+loads dominate).  Attribution:
 
   phase 0: FK + bitmap gate only
   phase 5: chunk-outer scans with synthesized points (no SMEM loads)

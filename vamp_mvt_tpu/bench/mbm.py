@@ -572,7 +572,11 @@ def run_suite(
                 # prefix, so the larger buffer costs nothing per step)
                 max_samples=16384,
                 max_path=96,
-                samples_per_step=16,
+                # Fetch problems need ~30x the samples of Panda's (median
+                # 3819 vs 129); wider grow steps amortize the per-step
+                # fixed costs there (A/B: 78 -> 92 problems/s, cost
+                # 9.93 -> 9.64 vs reference 9.93)
+                samples_per_step=32 if robot == "fetch" else 16,
                 connect_segments=8,
                 sample_window=4,
             )

@@ -285,7 +285,9 @@ def solve_batch(
     hist = [np.asarray(best_cost)]
     stale = 0
     for _ in range(rounds):
-        mc = jnp.where(jnp.isfinite(best_cost), best_cost, jnp.float32(1e30))
+        # f32-safe unsolved sentinel: aox squares (bound - cost), so 1e30
+        # overflows and degenerates its masked argmins (see aox.solve)
+        mc = jnp.where(jnp.isfinite(best_cost), best_cost, jnp.float32(1e8))
         if use_phs:
             bc = np.asarray(best_cost, np.float64)
             diam = np.where(np.isfinite(bc), bc, span)

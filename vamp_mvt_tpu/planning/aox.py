@@ -47,13 +47,17 @@ class _AOXState(NamedTuple):
 def _aug_nearest(configs, costs, mask, q, c_rand):
     """Eligibility-masked augmented-metric nearest (aorrtc.hh:61-85):
     the closest (augmented) node with costs + d <= c_rand; the tree root
-    (cost 0) is always eligible."""
+    (cost 0) is always eligible.  Returns (idx, d[idx], any_eligible):
+    with nothing eligible the argmin of all-inf degenerates to index 0 —
+    a node of the WRONG tree for connect-target queries — so callers must
+    gate on the flag (this produced loop-paths "solved" back into the
+    start tree when the cost bound overflowed, see below)."""
     d = jnp.sqrt(jnp.sum((configs - q) ** 2, axis=-1))
     aug = jnp.sqrt(d * d + (c_rand - costs) ** 2)
     eligible = mask & ((costs + d <= c_rand) | (costs <= 0.0))
     aug = jnp.where(eligible, aug, _INF)
     idx = jnp.argmin(aug)
-    return idx, d[idx]
+    return idx, d[idx], jnp.any(eligible)
 
 
 def _validate_seg(spec, env, start, vec, dist, num_points):
@@ -122,7 +126,7 @@ def _make_step(spec, s: RRTCSettings, env, num_points, resamples, phs):
         c_range = jnp.maximum(ax.max_cost - (g_hat + h_hat), 0.0)
         c_rand = uniform(st.sample_idx, 0) * c_range + g_hat
 
-        nearest, nearest_dist = _aug_nearest(
+        nearest, nearest_dist, _ = _aug_nearest(
             st.configs, ax.costs, mask_a, sample, c_rand
         )
         nearest_cfg = st.configs[nearest]
@@ -155,7 +159,9 @@ def _make_step(spec, s: RRTCSettings, env, num_points, resamples, phs):
             cr = jnp.maximum(cost - g_hat_n, 0.0)
             u = uniform(st.sample_idx, 1 + i)
             bound = u * cr + g_hat_n
-            cand, cand_d = _aug_nearest(st.configs, ax.costs, mask_a, new_cfg, bound)
+            cand, cand_d, _ = _aug_nearest(
+                st.configs, ax.costs, mask_a, new_cfg, bound
+            )
             stop = (
                 (cand == par)
                 | (ax.costs[cand] + cand_d >= cost)
@@ -193,10 +199,10 @@ def _make_step(spec, s: RRTCSettings, env, num_points, resamples, phs):
         radii = st.radii.at[jnp.where(grow_active, nearest, M)].set(new_r, mode="drop")
 
         # --- connect target: bound is what would improve the incumbent
-        o_idx, o_d = _aug_nearest(
+        o_idx, o_d, o_elig = _aug_nearest(
             st.configs, ax.costs, mask_b, new_cfg, ax.max_cost - new_cost
         )
-        improves = new_cost + o_d + ax.costs[o_idx] < ax.max_cost
+        improves = o_elig & (new_cost + o_d + ax.costs[o_idx] < ax.max_cost)
         n_ext = jnp.ceil(o_d / s.range).astype(jnp.int32)
         n_ext_f = jnp.maximum(n_ext.astype(jnp.float32), 1.0)
         inc = (st.configs[o_idx] - new_cfg) / n_ext_f
@@ -307,8 +313,15 @@ def solve(
         junction_b=jnp.int32(0),
         a_start_at_join=jnp.asarray(True),
     )
+    # clamp the bound to an f32-SAFE magnitude: the augmented metric squares
+    # (c_rand - costs), so a 1e30 "unbounded" sentinel overflows to inf and
+    # collapses every masked argmin to index 0 — the start node — producing
+    # loop paths joined back into the start tree that report solved with
+    # near-zero cost.  1e8 keeps (c_rand)^2 ~ 1e16 finite while exceeding
+    # any real path cost by orders of magnitude.
     ax = _AOXState(base=st, costs=jnp.zeros(M, jnp.float32),
-                   max_cost=jnp.float32(max_cost))
+                   max_cost=jnp.minimum(jnp.float32(max_cost),
+                                        jnp.float32(1e8)))
 
     step = _make_step(spec, s, env, num_points, cost_bound_resamples, phs)
 

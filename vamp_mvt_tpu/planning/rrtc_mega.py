@@ -148,7 +148,7 @@ def _kernel_config(spec: RobotSpec, s: RRTCSettings, G: int):
     Erow = 32 if rows <= 32 else 64
     NT = (rows + EPT - 1) // EPT
     M = s.max_samples
-    CH = min(M, 256)      # NN chunk rows: scan ceil(n_nodes/CH) chunks per step
+    CH = min(M, 128)      # NN chunk rows: scan ceil(n_nodes/CH) chunks per step
     assert M % CH == 0 and M % 8 == 0
     PP = max(8 * ((s.max_path + 7) // 8), 8)  # path rows (sublane-padded)
     return dict(d=d, dp=dp, K=K, C=C, W=W, KW=KW, E=E, Erow=Erow, N=N, P=P,

@@ -88,7 +88,7 @@ def _broadcast_tile(e):
 
 def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
               pc_refs=None, pc_scratch=None, pc_phase: int = PC_PHASE_FULL,
-              pc_list=None, lane_mask=None):
+              pc_list=None, lane_mask=None, env_live=None):
     """Fused FK + collision over one (8, 128) tile of configurations.
 
     q_rows: list of d (8, 128) tiles (configuration dimension-major).
@@ -172,23 +172,36 @@ def tile_vmin(spec: RobotSpec, counts: dict[str, int], env_refs, q_rows,
                 m = jnp.minimum(m, d2 - rads_[k] * rads_[k])
             return m
 
+        # loop bounds: the arrays are padded to the BATCH maximum per shape
+        # type, but inert rows can never change a min — scan only this
+        # problem's live prefix when the caller supplies per-problem counts
+        # (env_live; results are bit-identical either way)
+        def bound(i, static):
+            return static if env_live is None else env_live[i]
+
         if counts["spheres"]:
-            vmin = jax.lax.fori_loop(0, counts["spheres"], sphere_body, vmin)
+            vmin = jax.lax.fori_loop(
+                0, bound(0, counts["spheres"]), sphere_body, vmin
+            )
         if counts["capsules"]:
             vmin = jax.lax.fori_loop(
-                0, counts["capsules"], lambda n, m: capsule_body(n, m, False), vmin
+                0, bound(1, counts["capsules"]),
+                lambda n, m: capsule_body(n, m, False), vmin,
             )
         if counts["z_capsules"]:
             vmin = jax.lax.fori_loop(
-                0, counts["z_capsules"], lambda n, m: capsule_body(n, m, True), vmin
+                0, bound(2, counts["z_capsules"]),
+                lambda n, m: capsule_body(n, m, True), vmin,
             )
         if counts["cuboids"]:
             vmin = jax.lax.fori_loop(
-                0, counts["cuboids"], lambda n, m: cuboid_body(n, m, False), vmin
+                0, bound(3, counts["cuboids"]),
+                lambda n, m: cuboid_body(n, m, False), vmin,
             )
         if counts["z_cuboids"]:
             vmin = jax.lax.fori_loop(
-                0, counts["z_cuboids"], lambda n, m: cuboid_body(n, m, True), vmin
+                0, bound(4, counts["z_cuboids"]),
+                lambda n, m: cuboid_body(n, m, True), vmin,
             )
         return vmin
 
@@ -498,7 +511,7 @@ def _make_kernel(spec: RobotSpec, counts: dict[str, int],
                  pc_phase: int = PC_PHASE_FULL):
     def kernel(sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref, bm_ref, ch_ref,
                pt_ref, su_ref, pcm_ref, stab_ref, att_ref, hfm_ref, hfd_ref,
-               q_ref, out_ref, pc_scr, pcl_scr):
+               envn_ref, q_ref, out_ref, pc_scr, pcl_scr):
         q_rows = [q_ref[0, j, 0] for j in range(spec.dimension)]  # (8,128) each
         vmin = tile_vmin(
             spec, counts, (sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref),
@@ -508,6 +521,7 @@ def _make_kernel(spec: RobotSpec, counts: dict[str, int],
             pc_scratch=pc_scr,
             pc_phase=pc_phase,
             pc_list=pcl_scr,
+            env_live=tuple(envn_ref[0, 0, i] for i in range(5)),
         )
         out_ref[0, 0] = (vmin >= 0.0).astype(jnp.int8)
 
@@ -569,6 +583,7 @@ def _run(spec, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab, att,
             smem_spec(att.shape[-2], 4),
             smem_spec(hfm.shape[-2], 10),
             vmem_spec(hfd.shape[-2], 128),
+            smem_spec(1, 8),
             pl.BlockSpec(
                 (1, d, 1, 8, 128),
                 lambda g: (g // G, 0, g % G, 0, 0),
@@ -589,7 +604,8 @@ def _run(spec, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab, att,
         interpret=interpret,
     )(
         _pad_rows(sph), _pad_rows(cap), _pad_rows(zcap), _pad_rows(cub),
-        _pad_rows(zcub), bm, ch, pt, su, pcm, stab, att, hfm, hfd, qg,
+        _pad_rows(zcub), bm, ch, pt, su, pcm, stab, att, hfm, hfd,
+        _live_counts(sph, cap, zcap, cub, zcub), qg,
     )
 
 
@@ -708,6 +724,27 @@ def _pad_rows(a):
     if a.shape[-2] == 0:
         return jnp.zeros(a.shape[:-2] + (1,) + a.shape[-1:], a.dtype)
     return a
+
+
+def _live_counts(sph, cap, zcap, cub, zcub) -> jnp.ndarray:
+    """(B, 1, 8) int32 per-problem live shape counts [sph, cap, zcap, cub,
+    zcub, 0...].  Builders pad with trailing inert rows whose first
+    coordinate is ~1e8, so the live rows are a prefix and a threshold count
+    recovers the prefix length.  Must be computed from the PRE-_pad_rows
+    arrays (the empty-type dummy row would count as live; the kernels skip
+    empty types statically so those lanes are never read)."""
+    def cnt(a):
+        if a.shape[-2] == 0:
+            return jnp.zeros(a.shape[:-2], jnp.int32)
+        return jnp.sum(
+            (jnp.abs(a[..., 0]) < 1e7).astype(jnp.int32), axis=-1
+        )
+
+    lc = jnp.stack(
+        [cnt(sph), cnt(cap), cnt(zcap), cnt(cub), cnt(zcub)], axis=-1,
+    )
+    pad = jnp.zeros(lc.shape[:-1] + (3,), jnp.int32)
+    return jnp.concatenate([lc, pad], axis=-1)[..., None, :]
 
 
 def supports(env: Environment) -> bool:

@@ -44,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vamp_mvt_tpu.collision.environment import Environment
-from vamp_mvt_tpu.ops.kernels.fkcc_pallas import tile_vmin, _pad_rows
+from vamp_mvt_tpu.ops.kernels.fkcc_pallas import tile_vmin, _pad_rows, _live_counts
 from vamp_mvt_tpu.planning import validate as validate_mod
 from vamp_mvt_tpu.planning.rrtc import RRTCResult, RRTCSettings
 from vamp_mvt_tpu.robots.spec import RobotSpec
@@ -181,7 +181,7 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
     lin, lrad, lpar = dp, dp + 1, dp + 2
     def kernel(ctl_ref, nodes0_ref, sph_ref, cap_ref, zcap_ref, cub_ref,
                zcub_ref, bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref,
-               att_ref, hfm_ref, hfd_ref, path_out, scal_out,
+               att_ref, hfm_ref, hfd_ref, envn_ref, path_out, scal_out,
                buf_out, cvec_scr, cnt_scr, escr, rscr, pc_scr,
                pcl_scr):
         # buf_out row layout: lanes 0..d-1 = configuration, lane lin =
@@ -478,7 +478,12 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                         a_t = _dotx(rowslice(en, j), ohl)
                         b_t = _dotx(rowslice(ev, j), ohl)
                         q_rows.append(a_t + b_t * frac)
-                    vmin = tile_vmin(spec, counts, env_refs, q_rows, pc_refs=pc_refs, pc_scratch=pc_scr, pc_phase=PCP, pc_list=pcl_scr, lane_mask=lane_live)
+                    vmin = tile_vmin(
+                        spec, counts, env_refs, q_rows, pc_refs=pc_refs,
+                        pc_scratch=pc_scr, pc_phase=PCP, pc_list=pcl_scr,
+                        lane_mask=lane_live,
+                        env_live=tuple(envn_ref[0, 0, i] for i in range(5)),
+                    )
                     okf = (vmin >= 0.0).astype(jnp.float32)
                     cnts = _dotx(okf, jnp.transpose(ohl))  # (8, R)
                     cnt_scr[:, t * R : (t + 1) * R] = cnts
@@ -846,6 +851,7 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
     }
     kernel = _make_mega_kernel(spec, settings, counts, cfg)
     M = cfg["M"]
+    envn = _live_counts(sph, cap, zcap, cub, zcub)
     sph, cap, zcap, cub, zcub = (
         _pad_rows(a) for a in (sph, cap, zcap, cub, zcub)
     )
@@ -886,6 +892,7 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
             smem_spec(hfm.shape[-2], 10),
             pl.BlockSpec((None, hfd.shape[-2], 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            smem_spec(1, 8),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -905,7 +912,7 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
         ],
         interpret=interpret,
     )(ctl, nodes0, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab,
-      att, hfm, hfd)
+      att, hfm, hfd, envn)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))

@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vamp_mvt_tpu.collision.environment import Environment
-from vamp_mvt_tpu.ops.kernels.fkcc_pallas import tile_vmin, _pad_rows
+from vamp_mvt_tpu.ops.kernels.fkcc_pallas import tile_vmin, _pad_rows, _live_counts
 from vamp_mvt_tpu.planning.simplify import SimplifyResult, SimplifySettings, path_cost, _pad_tail
 from vamp_mvt_tpu.robots.spec import RobotSpec
 
@@ -57,8 +57,8 @@ def _make_kernel(spec: RobotSpec, s: SimplifySettings, counts: dict, P: int):
 
     def kernel(ctl_ref, path_in, sph_ref, cap_ref, zcap_ref, cub_ref,
                zcub_ref, bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref,
-               att_ref, hfm_ref, hfd_ref, path_out, scal_out, jscr, buf2,
-               cj_smem, cst_smem, ccnt_smem, res_smem, pc_scr, pcl_scr):
+               att_ref, hfm_ref, hfd_ref, envn_ref, path_out, scal_out, jscr,
+               buf2, cj_smem, cst_smem, ccnt_smem, res_smem, pc_scr, pcl_scr):
         env_refs = (sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref)
         pc_refs = (bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref,
                    att_ref, hfm_ref, hfd_ref)
@@ -118,7 +118,11 @@ def _make_kernel(spec: RobotSpec, s: SimplifySettings, counts: dict, P: int):
                 lane_live = jnp.broadcast_to(
                     subl8 < (njobs - t * 8), (8, 128)
                 )
-                vmin = tile_vmin(spec, counts, env_refs, q_rows, pc_refs=pc_refs, pc_scratch=pc_scr, pc_list=pcl_scr, lane_mask=lane_live)
+                vmin = tile_vmin(
+                    spec, counts, env_refs, q_rows, pc_refs=pc_refs,
+                    pc_scratch=pc_scr, pc_list=pcl_scr, lane_mask=lane_live,
+                    env_live=tuple(envn_ref[0, 0, i] for i in range(5)),
+                )
                 okc = jnp.sum((vmin >= 0.0).astype(jnp.float32), axis=1,
                               keepdims=True)  # (8, 1)
                 for s2 in range(8):
@@ -362,6 +366,7 @@ def _run(spec, settings, ctl, paths, sph, cap, zcap, cub, zcub,
         "hf_rows": (hfd.shape[-2] // hfm.shape[-2]) if has_hf else 0,
     }
     kernel, dp = _make_kernel(spec, settings, counts, P)
+    envn = _live_counts(sph, cap, zcap, cub, zcub)
     sph, cap, zcap, cub, zcub = (
         _pad_rows(a) for a in (sph, cap, zcap, cub, zcub)
     )
@@ -392,6 +397,7 @@ def _run(spec, settings, ctl, paths, sph, cap, zcap, cub, zcub,
             smem_spec(hfm.shape[-2], 10),
             pl.BlockSpec((None, hfd.shape[-2], 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            smem_spec(1, 8),
         ],
         out_specs=(
             pl.BlockSpec((None, P, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -416,7 +422,7 @@ def _run(spec, settings, ctl, paths, sph, cap, zcap, cub, zcub,
         ],
         interpret=interpret,
     )(ctl, paths, sph, cap, zcap, cub, zcub, bm, ch, pt, su, pcm, stab,
-      att, hfm, hfd)
+      att, hfm, hfd, envn)
 
 
 _RUN_CACHE: dict = {}

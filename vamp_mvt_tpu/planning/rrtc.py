@@ -188,11 +188,23 @@ def _make_step(
         mask_a = node_mask & (st.in_start[:NP] == a_is_start)
         mask_b = node_mask & (st.in_start[:NP] != a_is_start)
 
-        # nearest in tree_a for each sample: (KW, NP)
-        d2a = jnp.sum((cfg_nn[None] - samples[:, None]) ** 2, axis=-1)
+        # nearest in tree_a for each sample: (KW, NP), in the dot form
+        # |n|^2 + |s|^2 - 2 n.s — the SAME arithmetic the megakernel's
+        # chunked MXU scan uses (its precomputed node norms + per-chunk dot
+        # produce bit-identical values, so the two planners stay in lockstep
+        # through fp-tie argmins)
+        n2 = jnp.sum(cfg_nn * cfg_nn, axis=-1)                   # (NP,)
+        s2 = jnp.sum(samples * samples, axis=-1)                 # (KW,)
+        dots = jnp.dot(
+            samples, cfg_nn.T, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        d2a = s2[:, None] + n2[None] - 2.0 * dots
         d2a = jnp.where(mask_a[None], d2a, _INF)
         nearest = jnp.argmin(d2a, axis=-1)                       # (KW,)
-        nearest_dist = jnp.sqrt(jnp.take_along_axis(d2a, nearest[:, None], -1)[:, 0])
+        nearest_dist = jnp.sqrt(jnp.maximum(
+            jnp.take_along_axis(d2a, nearest[:, None], -1)[:, 0], 0.0
+        ))
         nearest_radius = st.radii[nearest]
 
         dd_skip = dyn & (nearest_radius < nearest_dist)          # (KW,)
@@ -307,10 +319,17 @@ def _make_step(
 
         # --- connect bookkeeping: enter connect from the most promising new
         # node (nearest to the other tree), as rrtc.hh:158-171 does per insert
-        d2b = jnp.sum((cfg_nn[None] - new_cfg[:, None]) ** 2, axis=-1)
+        q2 = jnp.sum(new_cfg * new_cfg, axis=-1)                  # (K,)
+        dots_b = jnp.dot(
+            new_cfg, cfg_nn.T, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        d2b = q2[:, None] + n2[None] - 2.0 * dots_b
         d2b = jnp.where(mask_b[None], d2b, _INF)
         o_idx = jnp.argmin(d2b, axis=-1)                          # (K,)
-        o_d = jnp.sqrt(jnp.take_along_axis(d2b, o_idx[:, None], -1)[:, 0])
+        o_d = jnp.sqrt(jnp.maximum(
+            jnp.take_along_axis(d2b, o_idx[:, None], -1)[:, 0], 0.0
+        ))
         o_d_masked = jnp.where(g_ins, o_d, _INF)
         kc = jnp.argmin(o_d_masked)                               # chosen sample
         any_g = jnp.any(g_ins)

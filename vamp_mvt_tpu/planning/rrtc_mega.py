@@ -177,8 +177,10 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
     PPATH = s.max_path
     # meta lanes: in_start flag, dynamic-domain radius, parent index (f32,
     # exact for indices < 2^24; written by the insert block stores and read
-    # back by the path-export walk)
-    lin, lrad, lpar = dp, dp + 1, dp + 2
+    # back by the path-export walk), and the node's squared config norm
+    # (precomputed so the NN scans run as |n|^2 + |q|^2 - 2 n.q with one
+    # MXU dot per chunk instead of per-dimension vector ops)
+    lin, lrad, lpar, lnn = dp, dp + 1, dp + 2, dp + 3
     def kernel(ctl_ref, nodes0_ref, sph_ref, cap_ref, zcap_ref, cub_ref,
                zcub_ref, bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref,
                att_ref, hfm_ref, hfd_ref, envn_ref, path_out, scal_out,
@@ -292,6 +294,12 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             # semantics because chunks combine with strict <).  Skipped
             # entirely (0 chunks) in connect mode — samples are unused there.
             qrows_a = [srows[j][:, :KW] for j in range(d)]
+            # squared sample norms for the dot-form NN (see lnn lane)
+            s2_row = jnp.zeros((1, 128), jnp.float32)
+            for j in range(d):
+                s2_row = s2_row + srows[j] * srows[j]
+            s2a = s2_row[:, :KW]
+            sampB = sampH[:, :KW]                          # (dp, KW)
 
             def nn_a_chunk(cidx, carry):
                 bd, bi, br = carry                        # (1, KW) f32 each
@@ -301,10 +309,8 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                 rad_c = rows[:, lrad : lrad + 1]          # (CH, 1)
                 gidx = iota_ch_col + base                 # (CH, 1)
                 mask = (gidx < n_nodes) & (ins_c == af)
-                d2 = jnp.zeros((CH, KW), jnp.float32)
-                for j in range(d):
-                    diff = rows[:, j : j + 1] - qrows_a[j]
-                    d2 = d2 + diff * diff
+                dots = _dotx(rows[:, 0:dp], sampB)        # (CH, KW)
+                d2 = rows[:, lnn : lnn + 1] + s2a - 2.0 * dots
                 d2m = jnp.where(mask, d2, _BIG)
                 mn_c = jnp.min(d2m, axis=0, keepdims=True)
                 gidx_b = jnp.broadcast_to(gidx, (CH, KW))
@@ -338,7 +344,7 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                 bd_a = jnp.full((1, KW), 0.25, jnp.float32) + sampH[0, 0] * 0.0
                 nearest_row = jnp.zeros((1, KW), jnp.float32)
                 nrad_row = jnp.full((1, KW), _BIG, jnp.float32)
-            ndist_row = jnp.sqrt(bd_a)
+            ndist_row = jnp.sqrt(jnp.maximum(bd_a, 0.0))
 
             # --- dynamic-domain window prefilter (rrtc.hh:123-126)
             live_lane = lane128 < KW
@@ -490,7 +496,8 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
 
             # --- connect-entry NN: new grow nodes vs tree_b (chunked, as
             # above; only needed in grow mode)
-            qrows_b = [_col_to_row(new_cfg[:, j : j + 1], Erow) for j in range(d)]
+            q2_col = jnp.sum(new_cfg * new_cfg, axis=1, keepdims=True)
+            q2_row = _col_to_row(q2_col, Erow)             # (1, Erow)
 
             def nn_b_chunk(cidx, carry):
                 bd, bi = carry                            # (1, Erow) f32
@@ -499,10 +506,12 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                 ins_c = rows[:, lin : lin + 1]
                 gidx = iota_ch_col + base
                 mask = (gidx < n_nodes) & (ins_c != af)
-                d2 = jnp.zeros((CH, Erow), jnp.float32)
-                for j in range(d):
-                    diff = rows[:, j : j + 1] - qrows_b[j]
-                    d2 = d2 + diff * diff
+                dots = jax.lax.dot_general(
+                    rows[:, 0:dp], new_cfg, (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )                                          # (CH, Erow)
+                d2 = rows[:, lnn : lnn + 1] + q2_row - 2.0 * dots
                 d2m = jnp.where(mask, d2, _BIG)
                 mn_c = jnp.min(d2m, axis=0, keepdims=True)
                 gidx_b = jnp.broadcast_to(gidx, (CH, Erow))
@@ -527,7 +536,7 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             else:
                 bd_b = jnp.full((1, Erow), 1.0, jnp.float32) + new_cfg[0, 0] * 0.0
                 oidx_row = jnp.zeros((1, Erow), jnp.float32)
-            od_row = jnp.sqrt(bd_b)
+            od_row = jnp.sqrt(jnp.maximum(bd_b, 0.0))
 
             nrad_col = _dotx(sel, _row_to_col(nrad128, 128))
 
@@ -596,10 +605,15 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             nn_f = n_nodes.astype(jnp.float32)
             crows = tip128 + inc128 * (sub8f + 1.0)
             cpar = jnp.where(sub8 == 0, c_tip.astype(jnp.float32), nn_f + sub8f - 1.0)
+            cn2 = jnp.sum(
+                jnp.where(lane128 < dp, crows * crows, 0.0),
+                axis=1, keepdims=True,
+            )                                              # (8, 1)
             crows = jnp.where(
                 lane128 == lin, af,
                 jnp.where(lane128 == lrad, _BIG,
-                          jnp.where(lane128 == lpar, cpar, crows)),
+                          jnp.where(lane128 == lpar, cpar,
+                                    jnp.where(lane128 == lnn, cn2, crows))),
             )
             crows = jnp.where(sub8 < c_ins, crows, 0.0)
 
@@ -621,7 +635,9 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                 jnp.where(lane128 == lrad, _BIG,
                           jnp.where(lane128 == lpar,
                                     jnp.broadcast_to(near_idx_col, (Erow, 128)),
-                                    new128)),
+                                    jnp.where(lane128 == lnn,
+                                              jnp.broadcast_to(q2_col, (Erow, 128)),
+                                              new128))),
             )
             selrank_col = jnp.where(ins_col, rank_col, 0.0)
             selrank_row = _col_to_row(selrank_col, Erow)       # (1, Erow)
@@ -1017,11 +1033,17 @@ def plan_batch_mega(
     lanei = jnp.arange(128)
     in_start = (jnp.arange(1 + G) == 0).astype(jnp.float32)  # (1+G,)
     self_par = jnp.arange(1 + G, dtype=jnp.float32)          # roots: own parent
+    root_n2 = jnp.sum(
+        jnp.where(lanei[None, None] < d, nodes0, 0.0) ** 2, axis=2, keepdims=True
+    )                                                        # (B, 1+G, 1)
     nodes0 = jnp.where(
         lanei[None, None] == dp, in_start[None, :, None],
         jnp.where(
             lanei[None, None] == dp + 1, _BIG,
-            jnp.where(lanei[None, None] == dp + 2, self_par[None, :, None], nodes0),
+            jnp.where(
+                lanei[None, None] == dp + 2, self_par[None, :, None],
+                jnp.where(lanei[None, None] == dp + 3, root_n2, nodes0),
+            ),
         ),
     )
     if budget is None:

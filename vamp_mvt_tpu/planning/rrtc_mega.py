@@ -184,8 +184,8 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
     def kernel(ctl_ref, nodes0_ref, sph_ref, cap_ref, zcap_ref, cub_ref,
                zcub_ref, bm_ref, ch_ref, pt_ref, su_ref, pcm_ref, stab_ref,
                att_ref, hfm_ref, hfd_ref, envn_ref, path_out, scal_out,
-               buf_out, cvec_scr, cnt_scr, escr, rscr, pc_scr,
-               pcl_scr):
+               buf_out, cvec_scr, cnt_scr, escr, rscr, gscr, nascr, gsm,
+               pc_scr, pcl_scr):
         # buf_out row layout: lanes 0..d-1 = configuration, lane lin =
         # in_start flag, lane lrad = dynamic-domain radius, rest zero.
         env_refs = (sph_ref, cap_ref, zcap_ref, cub_ref, zcub_ref)
@@ -268,152 +268,233 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
             a_is = jnp.where(do_swap, 1 - a_is_start, a_is_start)
             af = a_is.astype(jnp.float32)
 
-            # --- KW Halton samples, scaled to joint limits: SAMP — computed
-            # in ROW layout, lane = sample index (see _halton_rows).  Lanes
-            # past KW hold out-of-window samples nothing reads: the NN uses
-            # the first KW lanes, and the one-hot compaction never selects a
-            # rank past K (ranks only accrue on live lanes).
-            if P_SAMP:
-                idx_row = (
-                    jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) + sample_idx
-                )
-                urows = _halton_rows(spec, idx_row)
-                srows = [u * spans[j] + lows[j] for j, u in enumerate(urows)]
-            else:
-                srows = [
-                    jnp.zeros((1, 128), jnp.float32)
-                    + sample_idx.astype(jnp.float32) * 1e-8
-                    for _ in range(d)
-                ]
-            srows += [jnp.zeros((1, 128), jnp.float32)] * (dp - d)
-            sampH = jnp.concatenate(srows, axis=0)     # (dp, 128) dim-major
+            # ---- grow-only machinery under ONE branch: sampling, the
+            # two NN scans, window compaction, the nearest-config
+            # gather, and the connect-entry NN.  Connect steps skip all
+            # of it; outputs are staged to scratch and read back below
+            # (every consumer is already gated on do_grow / n_acc, and
+            # n_acc is forced to 0 outside grow mode so stale staging
+            # can never activate grow rows).
+            @pl.when(do_grow)
+            def _():
+                # --- KW Halton samples, scaled to joint limits: SAMP — computed
+                # in ROW layout, lane = sample index (see _halton_rows).  Lanes
+                # past KW hold out-of-window samples nothing reads: the NN uses
+                # the first KW lanes, and the one-hot compaction never selects a
+                # rank past K (ranks only accrue on live lanes).
+                if P_SAMP:
+                    idx_row = (
+                        jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) + sample_idx
+                    )
+                    urows = _halton_rows(spec, idx_row)
+                    srows = [u * spans[j] + lows[j] for j, u in enumerate(urows)]
+                else:
+                    srows = [
+                        jnp.zeros((1, 128), jnp.float32)
+                        + sample_idx.astype(jnp.float32) * 1e-8
+                        for _ in range(d)
+                    ]
+                srows += [jnp.zeros((1, 128), jnp.float32)] * (dp - d)
+                sampH = jnp.concatenate(srows, axis=0)     # (dp, 128) dim-major
 
-            # --- NN of samples against tree_a, chunked over the live tree
-            # prefix (ceil(n_nodes/CH) chunks instead of the full M-row
-            # buffer; tie-break = smallest node index, exactly the full-scan
-            # semantics because chunks combine with strict <).  Skipped
-            # entirely (0 chunks) in connect mode — samples are unused there.
-            qrows_a = [srows[j][:, :KW] for j in range(d)]
-            # squared sample norms for the dot-form NN (see lnn lane)
-            s2_row = jnp.zeros((1, 128), jnp.float32)
-            for j in range(d):
-                s2_row = s2_row + srows[j] * srows[j]
-            s2a = s2_row[:, :KW]
-            sampB = sampH[:, :KW]                          # (dp, KW)
+                # --- NN of samples against tree_a, chunked over the live tree
+                # prefix (ceil(n_nodes/CH) chunks instead of the full M-row
+                # buffer; tie-break = smallest node index, exactly the full-scan
+                # semantics because chunks combine with strict <).  Skipped
+                # entirely (0 chunks) in connect mode — samples are unused there.
+                qrows_a = [srows[j][:, :KW] for j in range(d)]
+                # squared sample norms for the dot-form NN (see lnn lane)
+                s2_row = jnp.zeros((1, 128), jnp.float32)
+                for j in range(d):
+                    s2_row = s2_row + srows[j] * srows[j]
+                s2a = s2_row[:, :KW]
+                sampB = sampH[:, :KW]                          # (dp, KW)
 
-            def nn_a_chunk(cidx, carry):
-                bd, bi, br = carry                        # (1, KW) f32 each
-                base = cidx * CH
-                rows = buf_out[pl.ds(base, CH), :]        # (CH, 128)
-                ins_c = rows[:, lin : lin + 1]            # (CH, 1)
-                rad_c = rows[:, lrad : lrad + 1]          # (CH, 1)
-                gidx = iota_ch_col + base                 # (CH, 1)
-                mask = (gidx < n_nodes) & (ins_c == af)
-                dots = _dotx(rows[:, 0:dp], sampB)        # (CH, KW)
-                d2 = rows[:, lnn : lnn + 1] + s2a - 2.0 * dots
-                d2m = jnp.where(mask, d2, _BIG)
-                mn_c = jnp.min(d2m, axis=0, keepdims=True)
-                gidx_b = jnp.broadcast_to(gidx, (CH, KW))
-                near_c = jnp.min(
-                    jnp.where(d2m <= mn_c, gidx_b, 10**9), axis=0, keepdims=True
-                )
-                is_n = gidx_b == jnp.broadcast_to(near_c, (CH, KW))
-                nrad_c = jnp.max(
-                    jnp.where(is_n, jnp.broadcast_to(rad_c, (CH, KW)), -_BIG),
-                    axis=0, keepdims=True,
-                )
-                better = mn_c < bd
-                return (
-                    jnp.where(better, mn_c, bd),
-                    jnp.where(better, near_c.astype(jnp.float32), bi),
-                    jnp.where(better, nrad_c, br),
-                )
+                def nn_a_chunk(cidx, carry):
+                    bd, bi, br = carry                        # (1, KW) f32 each
+                    base = cidx * CH
+                    rows = buf_out[pl.ds(base, CH), :]        # (CH, 128)
+                    ins_c = rows[:, lin : lin + 1]            # (CH, 1)
+                    rad_c = rows[:, lrad : lrad + 1]          # (CH, 1)
+                    gidx = iota_ch_col + base                 # (CH, 1)
+                    mask = (gidx < n_nodes) & (ins_c == af)
+                    dots = _dotx(rows[:, 0:dp], sampB)        # (CH, KW)
+                    d2 = rows[:, lnn : lnn + 1] + s2a - 2.0 * dots
+                    d2m = jnp.where(mask, d2, _BIG)
+                    mn_c = jnp.min(d2m, axis=0, keepdims=True)
+                    gidx_b = jnp.broadcast_to(gidx, (CH, KW))
+                    near_c = jnp.min(
+                        jnp.where(d2m <= mn_c, gidx_b, 10**9), axis=0, keepdims=True
+                    )
+                    is_n = gidx_b == jnp.broadcast_to(near_c, (CH, KW))
+                    nrad_c = jnp.max(
+                        jnp.where(is_n, jnp.broadcast_to(rad_c, (CH, KW)), -_BIG),
+                        axis=0, keepdims=True,
+                    )
+                    better = mn_c < bd
+                    return (
+                        jnp.where(better, mn_c, bd),
+                        jnp.where(better, near_c.astype(jnp.float32), bi),
+                        jnp.where(better, nrad_c, br),
+                    )
 
-            nch = jnp.where(do_grow, (n_nodes + CH - 1) // CH, 0)
-            if P_NN:
-                bd_a, nearest_row, nrad_row = jax.lax.fori_loop(
-                    0, nch,
-                    nn_a_chunk,
-                    (
-                        jnp.full((1, KW), _BIG, jnp.float32),
-                        jnp.zeros((1, KW), jnp.float32),
-                        jnp.zeros((1, KW), jnp.float32),
-                    ),
-                )
-            else:
-                bd_a = jnp.full((1, KW), 0.25, jnp.float32) + sampH[0, 0] * 0.0
-                nearest_row = jnp.zeros((1, KW), jnp.float32)
-                nrad_row = jnp.full((1, KW), _BIG, jnp.float32)
-            ndist_row = jnp.sqrt(jnp.maximum(bd_a, 0.0))
+                nch = jnp.where(do_grow, (n_nodes + CH - 1) // CH, 0)
+                if P_NN:
+                    bd_a, nearest_row, nrad_row = jax.lax.fori_loop(
+                        0, nch,
+                        nn_a_chunk,
+                        (
+                            jnp.full((1, KW), _BIG, jnp.float32),
+                            jnp.zeros((1, KW), jnp.float32),
+                            jnp.zeros((1, KW), jnp.float32),
+                        ),
+                    )
+                else:
+                    bd_a = jnp.full((1, KW), 0.25, jnp.float32) + sampH[0, 0] * 0.0
+                    nearest_row = jnp.zeros((1, KW), jnp.float32)
+                    nrad_row = jnp.full((1, KW), _BIG, jnp.float32)
+                ndist_row = jnp.sqrt(jnp.maximum(bd_a, 0.0))
 
-            # --- dynamic-domain window prefilter (rrtc.hh:123-126)
-            live_lane = lane128 < KW
-            pad = lambda rowv: jnp.pad(rowv, ((0, 0), (0, 128 - KW))) if KW < 128 else rowv
-            ndist128 = pad(ndist_row)
-            nrad128 = pad(nrad_row)
-            if dyn:
-                dd_skip = nrad128 < ndist128
-            else:
-                dd_skip = jnp.zeros((1, 128), bool)
-            chosen = (~dd_skip) & live_lane
-            rank = _lane_cumsum(chosen.astype(jnp.float32))   # (1,128) inclusive
-            chosen = chosen & (rank <= K)
-            n_acc = jnp.int32(jnp.sum(chosen.astype(jnp.float32)))
-            nth = chosen & (rank == K)
-            first_nth = jnp.int32(jnp.min(jnp.where(nth, lane128, 10**9)))
-            consumed = jnp.where(first_nth < 10**9, first_nth + 1, jnp.int32(KW))
+                # --- dynamic-domain window prefilter (rrtc.hh:123-126)
+                live_lane = lane128 < KW
+                pad = lambda rowv: jnp.pad(rowv, ((0, 0), (0, 128 - KW))) if KW < 128 else rowv
+                ndist128 = pad(ndist_row)
+                nrad128 = pad(nrad_row)
+                if dyn:
+                    dd_skip = nrad128 < ndist128
+                else:
+                    dd_skip = jnp.zeros((1, 128), bool)
+                chosen = (~dd_skip) & live_lane
+                rank = _lane_cumsum(chosen.astype(jnp.float32))   # (1,128) inclusive
+                chosen = chosen & (rank <= K)
+                n_acc = jnp.int32(jnp.sum(chosen.astype(jnp.float32)))
+                nth = chosen & (rank == K)
+                first_nth = jnp.int32(jnp.min(jnp.where(nth, lane128, 10**9)))
+                consumed = jnp.where(first_nth < 10**9, first_nth + 1, jnp.int32(KW))
 
-            # --- compact the <=K chosen samples to edge rows 0..K-1
-            rank_b = jnp.broadcast_to(rank, (Erow, 128))
-            chosen_b = jnp.broadcast_to(chosen, (Erow, 128))
-            krow_col = jax.lax.broadcasted_iota(jnp.int32, (Erow, 128), 0)
-            sel = (chosen_b & (rank_b == (krow_col + 1).astype(jnp.float32))).astype(
-                jnp.float32
-            )                                                  # (Erow, 128)
-            # contract sel's lane dim against sampH's lane dim (the MXU's
-            # rhs-transposed mode): avoids materializing a (128, dp) sample
-            # matrix from the row-layout Halton values
-            samp_sel = jax.lax.dot_general(
-                sel, sampH, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )                                                  # (Erow, dp)
-            near_idx_col = _dotx(sel, _row_to_col(pad(nearest_row), 128))                                                  # (Erow, 1)
-            ndist_col = _dotx(sel, _row_to_col(ndist128, 128))
-
-            # gather the K nearest-node configs with ONE chunked one-hot MXU
-            # matmul over the live tree prefix (K serial dynamic-sublane row
-            # reads each pay fixed VMEM-access latency; the matmul reads the
-            # same chunk rows the NN scan just touched).  Rows K..Erow-1 hold
-            # whatever their (unchosen) sel row selects — every consumer
-            # masks them with is_grow_row/live_row.
-            escr[:, 0:1] = near_idx_col
-
-            def gather_chunk(cidx, acc):
-                base = cidx * CH
-                rows = buf_out[pl.ds(base, CH), :]            # (CH, 128)
-                gidx = (
-                    jax.lax.broadcasted_iota(jnp.int32, (Erow, CH), 1) + base
-                ).astype(jnp.float32)
-                oh = (gidx == jnp.broadcast_to(near_idx_col, (Erow, CH))).astype(
+                # --- compact the <=K chosen samples to edge rows 0..K-1
+                rank_b = jnp.broadcast_to(rank, (Erow, 128))
+                chosen_b = jnp.broadcast_to(chosen, (Erow, 128))
+                krow_col = jax.lax.broadcasted_iota(jnp.int32, (Erow, 128), 0)
+                sel = (chosen_b & (rank_b == (krow_col + 1).astype(jnp.float32))).astype(
                     jnp.float32
-                )
-                return acc + _dotx(oh, rows)
+                )                                                  # (Erow, 128)
+                # contract sel's lane dim against sampH's lane dim (the MXU's
+                # rhs-transposed mode): avoids materializing a (128, dp) sample
+                # matrix from the row-layout Halton values
+                samp_sel = jax.lax.dot_general(
+                    sel, sampH, (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )                                                  # (Erow, dp)
+                near_idx_col = _dotx(sel, _row_to_col(pad(nearest_row), 128))                                                  # (Erow, 1)
+                ndist_col = _dotx(sel, _row_to_col(ndist128, 128))
 
-            if P_NN:
-                near_all = jax.lax.fori_loop(
-                    0, nch, gather_chunk, jnp.zeros((Erow, 128), jnp.float32)
-                )
-            else:
-                near_all = jnp.zeros((Erow, 128), jnp.float32) + near_idx_col * 0.0
-            near_cfg = near_all[:, 0:dp]
+                # gather the K nearest-node configs with ONE chunked one-hot MXU
+                # matmul over the live tree prefix (K serial dynamic-sublane row
+                # reads each pay fixed VMEM-access latency; the matmul reads the
+                # same chunk rows the NN scan just touched).  Rows K..Erow-1 hold
+                # whatever their (unchosen) sel row selects — every consumer
+                # masks them with is_grow_row/live_row.
+                escr[:, 0:1] = near_idx_col
 
-            reach = ndist_col < rng
-            scale = jnp.where(reach, 1.0, rng / jnp.maximum(ndist_col, 1e-12))
-            vec = (samp_sel - near_cfg) * scale               # (Erow, dp)
-            ext_dist = jnp.minimum(ndist_col, rng)
+                def gather_chunk(cidx, acc):
+                    base = cidx * CH
+                    rows = buf_out[pl.ds(base, CH), :]            # (CH, 128)
+                    gidx = (
+                        jax.lax.broadcasted_iota(jnp.int32, (Erow, CH), 1) + base
+                    ).astype(jnp.float32)
+                    oh = (gidx == jnp.broadcast_to(near_idx_col, (Erow, CH))).astype(
+                        jnp.float32
+                    )
+                    return acc + _dotx(oh, rows)
+
+                if P_NN:
+                    near_all = jax.lax.fori_loop(
+                        0, nch, gather_chunk, jnp.zeros((Erow, 128), jnp.float32)
+                    )
+                else:
+                    near_all = jnp.zeros((Erow, 128), jnp.float32) + near_idx_col * 0.0
+                near_cfg = near_all[:, 0:dp]
+
+                reach = ndist_col < rng
+                scale = jnp.where(reach, 1.0, rng / jnp.maximum(ndist_col, 1e-12))
+                vec = (samp_sel - near_cfg) * scale               # (Erow, dp)
+                ext_dist = jnp.minimum(ndist_col, rng)
+                new_cfg = near_cfg + vec
+                n_col = jnp.maximum(jnp.ceil(ext_dist * res8), 1.0)
+
+                # --- connect-entry NN: new grow nodes vs tree_b (chunked, as
+                # above; only needed in grow mode)
+                q2_col = jnp.sum(new_cfg * new_cfg, axis=1, keepdims=True)
+                q2_row = _col_to_row(q2_col, Erow)             # (1, Erow)
+
+                def nn_b_chunk(cidx, carry):
+                    bd, bi = carry                            # (1, Erow) f32
+                    base = cidx * CH
+                    rows = buf_out[pl.ds(base, CH), :]
+                    ins_c = rows[:, lin : lin + 1]
+                    gidx = iota_ch_col + base
+                    mask = (gidx < n_nodes) & (ins_c != af)
+                    dots = jax.lax.dot_general(
+                        rows[:, 0:dp], new_cfg, (((1,), (1,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )                                          # (CH, Erow)
+                    d2 = rows[:, lnn : lnn + 1] + q2_row - 2.0 * dots
+                    d2m = jnp.where(mask, d2, _BIG)
+                    mn_c = jnp.min(d2m, axis=0, keepdims=True)
+                    gidx_b = jnp.broadcast_to(gidx, (CH, Erow))
+                    near_c = jnp.min(
+                        jnp.where(d2m <= mn_c, gidx_b, 10**9), axis=0, keepdims=True
+                    )
+                    better = mn_c < bd
+                    return (
+                        jnp.where(better, mn_c, bd),
+                        jnp.where(better, near_c.astype(jnp.float32), bi),
+                    )
+
+                if P_NN:
+                    bd_b, oidx_row = jax.lax.fori_loop(
+                        0, nch,
+                        nn_b_chunk,
+                        (
+                            jnp.full((1, Erow), _BIG, jnp.float32),
+                            jnp.zeros((1, Erow), jnp.float32),
+                        ),
+                    )
+                else:
+                    bd_b = jnp.full((1, Erow), 1.0, jnp.float32) + new_cfg[0, 0] * 0.0
+                    oidx_row = jnp.zeros((1, Erow), jnp.float32)
+                od_row = jnp.sqrt(jnp.maximum(bd_b, 0.0))
+
+                nrad_col = _dotx(sel, _row_to_col(nrad128, 128))
+                # ---- stage for the shared tail
+                gscr[:, 0:dp] = near_cfg
+                gscr[:, dp : 2 * dp] = vec
+                gscr[:, 2 * dp : 2 * dp + 1] = n_col
+                gscr[:, 2 * dp + 1 : 2 * dp + 2] = nrad_col
+                gscr[:, 2 * dp + 2 : 2 * dp + 3] = near_idx_col
+                gscr[:, 2 * dp + 3 : 2 * dp + 4] = q2_col
+                nascr[:, :] = near_all
+                rscr[0:1, 0:Erow] = oidx_row
+                rscr[1:2, 0:Erow] = od_row
+                gsm[0, 0] = consumed
+                gsm[0, 1] = n_acc
+
+            g1 = gscr[:, :]
+            near_cfg = g1[:, 0:dp]
+            vec = g1[:, dp : 2 * dp]
+            n_col = g1[:, 2 * dp : 2 * dp + 1]
+            nrad_col = g1[:, 2 * dp + 1 : 2 * dp + 2]
+            near_idx_col = g1[:, 2 * dp + 2 : 2 * dp + 3]
+            q2_col = g1[:, 2 * dp + 3 : 2 * dp + 4]
+            near_all = nascr[:, :]
             new_cfg = near_cfg + vec
-            n_col = jnp.maximum(jnp.ceil(ext_dist * res8), 1.0)
+            oidx_row = rscr[0:1, 0:Erow]
+            od_row = rscr[1:2, 0:Erow]
+            consumed = gsm[0, 0]
+            n_acc = jnp.where(do_grow, gsm[0, 1], 0)
 
             # --- connect-edge params (rows C0..C0+C-1): tip + inc*(seg + frac)
             tip128 = jnp.where(
@@ -493,52 +574,6 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                     okf = (vmin >= 0.0).astype(jnp.float32)
                     cnts = _dotx(okf, jnp.transpose(ohl))  # (8, R)
                     cnt_scr[:, t * R : (t + 1) * R] = cnts
-
-            # --- connect-entry NN: new grow nodes vs tree_b (chunked, as
-            # above; only needed in grow mode)
-            q2_col = jnp.sum(new_cfg * new_cfg, axis=1, keepdims=True)
-            q2_row = _col_to_row(q2_col, Erow)             # (1, Erow)
-
-            def nn_b_chunk(cidx, carry):
-                bd, bi = carry                            # (1, Erow) f32
-                base = cidx * CH
-                rows = buf_out[pl.ds(base, CH), :]
-                ins_c = rows[:, lin : lin + 1]
-                gidx = iota_ch_col + base
-                mask = (gidx < n_nodes) & (ins_c != af)
-                dots = jax.lax.dot_general(
-                    rows[:, 0:dp], new_cfg, (((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )                                          # (CH, Erow)
-                d2 = rows[:, lnn : lnn + 1] + q2_row - 2.0 * dots
-                d2m = jnp.where(mask, d2, _BIG)
-                mn_c = jnp.min(d2m, axis=0, keepdims=True)
-                gidx_b = jnp.broadcast_to(gidx, (CH, Erow))
-                near_c = jnp.min(
-                    jnp.where(d2m <= mn_c, gidx_b, 10**9), axis=0, keepdims=True
-                )
-                better = mn_c < bd
-                return (
-                    jnp.where(better, mn_c, bd),
-                    jnp.where(better, near_c.astype(jnp.float32), bi),
-                )
-
-            if P_NN:
-                bd_b, oidx_row = jax.lax.fori_loop(
-                    0, nch,
-                    nn_b_chunk,
-                    (
-                        jnp.full((1, Erow), _BIG, jnp.float32),
-                        jnp.zeros((1, Erow), jnp.float32),
-                    ),
-                )
-            else:
-                bd_b = jnp.full((1, Erow), 1.0, jnp.float32) + new_cfg[0, 0] * 0.0
-                oidx_row = jnp.zeros((1, Erow), jnp.float32)
-            od_row = jnp.sqrt(jnp.maximum(bd_b, 0.0))
-
-            nrad_col = _dotx(sel, _row_to_col(nrad128, 128))
 
             # =================== vectorized bookkeeping =====================
             # The per-edge insert/dd/candidate logic runs in the VECTOR
@@ -920,6 +955,9 @@ def _run_mega(spec, settings, ctl, nodes0, sph, cap, zcap, cub, zcub,
             pltpu.VMEM((8, 128), jnp.float32),    # cnt: per-edge valid counts
             pltpu.VMEM((cfg["Erow"], 128), jnp.float32),  # escr: per-edge scalars
             pltpu.VMEM((8, 128), jnp.float32),    # rscr: per-edge rows (oidx, od)
+            pltpu.VMEM((cfg["Erow"], 128), jnp.float32),  # gscr: staged grow values
+            pltpu.VMEM((cfg["Erow"], 128), jnp.float32),  # nascr: staged near_all
+            pltpu.SMEM((1, 4), jnp.int32),        # gsm: consumed, n_acc
             pltpu.VMEM(
                 (max((spec.n_spheres + counts["attach"]) * 24, 8), 128),
                 jnp.float32,

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 import vamp_mvt_tpu as vmt
 from vamp_mvt_tpu.collision import environment as envmod
-from vamp_mvt_tpu.planning import rrtc, simplify
+from vamp_mvt_tpu.planning import rrtc, rrtc_mega, simplify, simplify_mega
 from vamp_mvt_tpu.robots import registry
 
 A = [0., -0.785, 0., -2.356, 0., 1.571, 0.785]
@@ -47,17 +47,44 @@ def main(n_trials: int = 100, variation: float = 0.01, radius: float = 0.2):
     goals = jnp.broadcast_to(jnp.asarray([B], jnp.float32), (n_trials, 1, 7))
     masks = jnp.ones((n_trials, 1), bool)
 
-    plan = jax.jit(lambda e, s, g, m: rrtc.plan_batch(spec, e, s, g, m, settings))
-    simp = jax.jit(
-        lambda e, p, l: simplify.simplify_batch(
-            spec, e, p, l, simplify.SimplifySettings(pair_chunk=64)
+    # production path on TPU = the per-problem megakernels; the lockstep
+    # XLA planner stays the CPU/portable path
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        plan = jax.jit(
+            lambda e, s, g, m, o: rrtc_mega.plan_batch_mega(
+                spec, e, s, g, m, settings, sample_offsets=o
+            )
         )
-    )
-    r = plan(batched, starts, goals, masks); jax.block_until_ready(r)  # compile
+        simp = jax.jit(
+            lambda e, p, l: simplify_mega.simplify_batch_mega(
+                spec, e, p, l, simplify.SimplifySettings(pair_chunk=64)
+            )
+        )
+    else:
+        plan = jax.jit(
+            lambda e, s, g, m, o: rrtc.plan_batch(
+                spec, e, s, g, m, settings, o
+            )
+        )
+        simp = jax.jit(
+            lambda e, p, l: simplify.simplify_batch(
+                spec, e, p, l, simplify.SimplifySettings(pair_chunk=64)
+            )
+        )
+    offs = jnp.zeros(n_trials, jnp.int32)
+    # warm BOTH programs, then time with a different sample offset —
+    # identical repeat dispatches can be served from result caches and
+    # "measure" nothing
+    r = plan(batched, starts, goals, masks, offs)
+    s = simp(batched, r.path, r.path_length)
+    jax.block_until_ready(s)
     t0 = time.perf_counter()
-    r = plan(batched, starts, goals, masks); jax.block_until_ready(r)
+    r = plan(batched, starts, goals, masks, offs + 100)
+    jax.block_until_ready(r)
     t1 = time.perf_counter()
-    s = simp(batched, r.path, r.path_length); jax.block_until_ready(s)
+    s = simp(batched, r.path, r.path_length)
+    jax.block_until_ready(s)
     t2 = time.perf_counter()
 
     solved = int(np.asarray(r.solved).sum())

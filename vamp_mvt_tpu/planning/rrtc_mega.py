@@ -410,9 +410,29 @@ def _make_mega_kernel(spec: RobotSpec, s: RRTCSettings, counts: dict, cfg: dict)
                     return acc + _dotx(oh, rows)
 
                 if P_NN:
-                    near_all = jax.lax.fori_loop(
-                        0, nch, gather_chunk, jnp.zeros((Erow, 128), jnp.float32)
-                    )
+                    # hybrid gather: the one-hot matmul costs one chunk trip
+                    # per CH rows (it re-reads the rows the NN scan just
+                    # touched), which beats K serial dynamic row reads for
+                    # SMALL trees but loses linearly for big ones (a 16k-node
+                    # straggler tree is ~128 trips).  Past a few chunks,
+                    # switch to K dynamic single-row reads of the nearest
+                    # indices (rows are exact either way; rows K..Erow-1 are
+                    # dead in both paths and masked by every consumer).
+                    def gather_small():
+                        return jax.lax.fori_loop(
+                            0, nch, gather_chunk,
+                            jnp.zeros((Erow, 128), jnp.float32),
+                        )
+
+                    def gather_big():
+                        rows = [
+                            buf_out[pl.ds(jnp.int32(escr[k, 0]), 1), :]
+                            for k in range(K)
+                        ]
+                        rows.append(jnp.zeros((Erow - K, 128), jnp.float32))
+                        return jnp.concatenate(rows, axis=0)
+
+                    near_all = jax.lax.cond(nch > 2, gather_big, gather_small)
                 else:
                     near_all = jnp.zeros((Erow, 128), jnp.float32) + near_idx_col * 0.0
                 near_cfg = near_all[:, 0:dp]

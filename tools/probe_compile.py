@@ -12,7 +12,6 @@ if "--nocache" not in sys.argv:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
-import dataclasses
 
 import numpy as np
 import jax
@@ -42,11 +41,8 @@ def main():
 
     settings = rrtc.RRTCSettings(
         range=registry.RRT_RANGES.get("panda", 1.0),
-        max_iterations=4096, max_samples=2048, max_path=96,
+        max_iterations=4096, max_samples=16384, max_path=96,
         samples_per_step=16, connect_segments=8, sample_window=4,
-    )
-    retry_settings = dataclasses.replace(
-        settings, max_iterations=32 * 4096, max_samples=16384
     )
     simp_settings = simplify.SimplifySettings(pair_chunk=64)
 
@@ -55,26 +51,27 @@ def main():
     mark("valid_fused compiled+run")
 
     plan_fn = jax.jit(
-        lambda e, s, g, m: rrtc_mega.plan_batch_mega(spec, e, s, g, m, settings)
-    )
-    pr = plan_fn(envs, starts, goals, masks)
-    jax.block_until_ready(pr)
-    mark("plan mega (B=700, M=2048) compiled+run")
-    t = time.perf_counter()
-    pr = plan_fn(envs, starts, goals, masks)
-    jax.block_until_ready(pr)
-    mark(f"plan mega warm: {time.perf_counter() - t:.3f}s")
-
-    retry_fn = jax.jit(
-        lambda e, s, g, m: rrtc_mega.plan_batch_mega(
-            spec, e, s, g, m, retry_settings
+        lambda e, s, g, m, budget: rrtc_mega.plan_batch_mega(
+            spec, e, s, g, m, settings, budget=budget
         )
     )
-    take = jnp.arange(16)
-    sub = mbm._gather_sub((envs, starts, goals, masks), take)
-    rr = retry_fn(*sub)
+    pr = plan_fn(envs, starts, goals, masks, jnp.int32(4096))
+    jax.block_until_ready(pr)
+    mark("plan mega (B=700, M=16384) compiled+run")
+    t = time.perf_counter()
+    # different budget scalar: an identical repeat dispatch can be served
+    # from result caches and time nothing
+    pr = plan_fn(envs, starts, goals, masks, jnp.int32(4097))
+    jax.block_until_ready(pr)
+    mark(f"plan mega warm: {time.perf_counter() - t:.3f}s "
+         "(NOT a throughput number: near-identical dispatches can be "
+         "served from result caches along the tunnel — bench.py's suite "
+         "timing is the real measure)")
+    t = time.perf_counter()
+    # the 32x retry budget reuses the SAME compiled program
+    rr = plan_fn(envs, starts, goals, masks, jnp.int32(32 * 4096))
     jax.block_until_ready(rr.solved)
-    mark("retry mega (B=16, M=16384) compiled+run")
+    mark(f"retry budget (same program): {time.perf_counter() - t:.3f}s")
 
     simp_fn = jax.jit(
         lambda e, p, l: simplify_mega.simplify_batch_mega(

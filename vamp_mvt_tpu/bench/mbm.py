@@ -517,19 +517,41 @@ def _scatter_merge(base_tree, new_tree, idx):
     )
 
 
+@jax.jit
+def _pack_leaves(tree):
+    """Flatten every result leaf into ONE f32 buffer (all integer fields
+    are < 2^24, so the f32 round-trip is exact) — a single device->host
+    transfer instead of one tunnel round-trip per leaf."""
+    return jnp.concatenate(
+        [l.astype(jnp.float32).reshape(-1) for l in jax.tree_util.tree_leaves(tree)]
+    )
+
+
+def _unpack_leaves(tree, flat):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out, off = [], 0
+    for l in leaves:
+        n = int(np.prod(l.shape)) if l.ndim else 1
+        out.append(flat[off : off + n].reshape(l.shape).astype(l.dtype))
+        off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def _tree_concat(results):
-    """Concatenate per-batch result trees on the HOST, overlapping the
-    device->host transfers: kicking off every leaf's copy before the first
-    np.asarray blocks turns N serial tunnel round-trips into one pipelined
-    drain (the 'gather' phase was ~30% of warm e2e wall before this)."""
-    for r in results:
-        for leaf in jax.tree_util.tree_leaves(r):
-            if hasattr(leaf, "copy_to_host_async"):
-                leaf.copy_to_host_async()
-    if len(results) == 1:
-        return jax.tree_util.tree_map(np.asarray, results[0])
+    """Concatenate per-batch result trees on the HOST with ONE packed
+    device->host transfer per batch (per-leaf transfers each paid full
+    tunnel latency; the 'gather' phase was ~30% of warm e2e wall before
+    the async pipelining, and the packed copy halves what remained)."""
+    packed = [_pack_leaves(r) for r in results]
+    for pk in packed:
+        pk.copy_to_host_async()
+    parts = [
+        _unpack_leaves(r, np.asarray(pk)) for r, pk in zip(results, packed)
+    ]
+    if len(parts) == 1:
+        return parts[0]
     return jax.tree_util.tree_map(
-        lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *results
+        lambda *xs: np.concatenate(list(xs)), *parts
     )
 
 

@@ -65,41 +65,13 @@ def main():
     np.asarray(res.solved)
     dt = time.perf_counter() - t0
 
-    # re-run _run_mega for the scalar block (cheap: same compiled kernel)
-    span = float(np.linalg.norm(spec.limits_high - spec.limits_low))
-    G = goals.shape[1]
-    d = spec.dimension
-    direct = jax.jit(
-        lambda e, st, g, m: jax.vmap(
-            lambda e1, s1, g1, m1: validate_mod.validate_motion_batch(
-                spec, e1, jnp.broadcast_to(s1, (G, d)), g1,
-                validate_mod.n_points_bound(spec, span),
-            )
-            & m1
-        )(e, st, g, m)
-    )(envs, starts, goals, masks)
-    any_direct = jnp.any(direct, axis=1)
-
+    # re-run _run_mega for the scalar block (cheap: same compiled kernel),
+    # with inputs built by the SAME helper the production path uses
+    ctl, nodes0, any_direct, _fd = rrtc_mega.mega_inputs(
+        spec, envs, starts, goals, masks, settings
+    )
     from vamp_mvt_tpu.ops.kernels.fkcc_pallas import _pc_arrays
 
-    dp = max(8, 8 * ((d + 7) // 8))
-    far = jnp.where(masks[..., None], 0.0, 1e8)
-    nodes0 = jnp.concatenate([starts[:, None], goals + far], axis=1)
-    nodes0 = jnp.concatenate(
-        [nodes0, jnp.zeros((nodes0.shape[0], 1 + G, 128 - d), jnp.float32)],
-        axis=2,
-    )
-    lanei = jnp.arange(128)
-    in_start = (jnp.arange(1 + G) == 0).astype(jnp.float32)
-    nodes0 = jnp.where(
-        lanei[None, None] == dp, in_start[None, :, None],
-        jnp.where(lanei[None, None] == dp + 1, rrtc_mega._BIG, nodes0),
-    )
-    ctl = jnp.zeros((nodes0.shape[0], 1, 8), jnp.int32)
-    ctl = ctl.at[:, 0, 1].set(any_direct.astype(jnp.int32))
-    ctl = ctl.at[:, 0, 2].set(jnp.sum(masks.astype(jnp.int32), axis=1))
-    # budget is a runtime scalar now (ctl lane 3)
-    ctl = ctl.at[:, 0, 3].set(settings.max_iterations)
     bm, ch, pt, su, pcm, stab, att, hfm, hfd, flags = _pc_arrays(spec, envs)
 
     def kernel_only(off):

@@ -62,22 +62,13 @@ def main():
         sample_window=4,
     )
 
-    # kernel inputs built once (bypass plan_batch_mega: no direct check)
-    far = jnp.where(masks[..., None], 0.0, 1e8)
-    nodes0 = jnp.concatenate([starts[:, None], goals + far], axis=1)
-    nodes0 = jnp.concatenate(
-        [nodes0, jnp.zeros((B, 1 + G, 128 - d), jnp.float32)], axis=2
+    # kernel inputs built once by the SAME helper production uses (the
+    # node-row meta lanes must match the kernel's layout exactly); the
+    # direct flags are zeroed so every problem exercises the step loop
+    ctl, nodes0, _ad, _fd = rrtc_mega.mega_inputs(
+        spec, envs, starts, goals, masks, base
     )
-    lanei = jnp.arange(128)
-    in_start = (jnp.arange(1 + G) == 0).astype(jnp.float32)
-    nodes0 = jnp.where(
-        lanei[None, None] == dp, in_start[None, :, None],
-        jnp.where(lanei[None, None] == dp + 1, rrtc_mega._BIG, nodes0),
-    )
-    ctl = jnp.zeros((B, 1, 8), jnp.int32)
-    ctl = ctl.at[:, 0, 2].set(jnp.sum(masks.astype(jnp.int32), axis=1))
-    # budget is a runtime scalar now (ctl lane 3)
-    ctl = ctl.at[:, 0, 3].set(base.max_iterations)
+    ctl = ctl.at[:, 0, 1].set(0)
     bm, ch, pt, su, pcm, stab, att, hfm, hfd, flags = _pc_arrays(spec, envs)
 
     def run(mask):

@@ -1040,30 +1040,16 @@ def _finalize_mega(spec, settings, paths, scal, starts, goals,
     )
 
 
-def plan_batch_mega(
-    spec: RobotSpec,
-    envs: Environment,
-    starts: jnp.ndarray,            # (B, d)
-    goals: jnp.ndarray,             # (B, G, d)
-    goal_masks: jnp.ndarray,        # (B, G)
-    settings: RRTCSettings,
-    sample_offsets: jnp.ndarray | None = None,
-    interpret: bool | None = None,
-    budget: jnp.ndarray | int | None = None,
-) -> RRTCResult:
-    """Solve a batch with the planner megakernel (one grid step per problem).
+def mega_inputs(spec, envs, starts, goals, goal_masks, settings,
+                sample_offsets=None, budget=None):
+    """Kernel control word + initial node rows for _run_mega.
 
-    Equivalent in planner semantics to rrtc.plan_batch; orders of magnitude
-    faster on TPU because finished problems stop instantly and all state is
-    chip-resident.  On CPU backends runs in Pallas interpreter mode (slow;
-    tests only).
-
-    budget overrides settings.max_iterations AT RUNTIME (scalar or (B,)):
-    a straggler retry at 32x budget reuses the exact compiled program of the
-    initial call instead of compiling a second megakernel.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+    Shared by plan_batch_mega and the profiling tools so the node-row meta
+    lane layout (in_start / dd radius / parent / squared norm) cannot drift
+    between them (tools/profile_mega once hand-rolled nodes0 and silently
+    lost the parent and norm lanes after a layout change, producing planner
+    statistics from garbage NN distances).
+    Returns (ctl, nodes0, any_direct, first_direct)."""
     B, d = starts.shape
     G = goals.shape[1]
     dp = max(8, 8 * ((d + 7) // 8))
@@ -1082,7 +1068,8 @@ def plan_batch_mega(
     any_direct = jnp.any(direct, axis=1)
     first_direct = jnp.argmax(direct, axis=1)
 
-    # --- kernel inputs: (B, 1+G, 128) node rows with LIN/LRAD lanes preset
+    # --- kernel inputs: (B, 1+G, 128) node rows with LIN/LRAD/LPAR/LNN
+    # lanes preset (roots are their own parents)
     far = jnp.where(goal_masks[..., None], 0.0, 1e8)
     nodes0 = jnp.concatenate([starts[:, None], goals + far], axis=1)  # (B,1+G,d)
     nodes0 = jnp.concatenate(
@@ -1112,6 +1099,37 @@ def plan_batch_mega(
     ctl = ctl.at[:, 0, 2].set(jnp.sum(goal_masks.astype(jnp.int32), axis=1))
     ctl = ctl.at[:, 0, 3].set(
         jnp.broadcast_to(jnp.asarray(budget, jnp.int32), (B,))
+    )
+    return ctl, nodes0, any_direct, first_direct
+
+
+def plan_batch_mega(
+    spec: RobotSpec,
+    envs: Environment,
+    starts: jnp.ndarray,            # (B, d)
+    goals: jnp.ndarray,             # (B, G, d)
+    goal_masks: jnp.ndarray,        # (B, G)
+    settings: RRTCSettings,
+    sample_offsets: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+    budget: jnp.ndarray | int | None = None,
+) -> RRTCResult:
+    """Solve a batch with the planner megakernel (one grid step per problem).
+
+    Equivalent in planner semantics to rrtc.plan_batch; orders of magnitude
+    faster on TPU because finished problems stop instantly and all state is
+    chip-resident.  On CPU backends runs in Pallas interpreter mode (slow;
+    tests only).
+
+    budget overrides settings.max_iterations AT RUNTIME (scalar or (B,)):
+    a straggler retry at 32x budget reuses the exact compiled program of the
+    initial call instead of compiling a second megakernel.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    ctl, nodes0, any_direct, first_direct = mega_inputs(
+        spec, envs, starts, goals, goal_masks, settings, sample_offsets,
+        budget,
     )
 
     from vamp_mvt_tpu.ops.kernels.fkcc_pallas import _pc_arrays

@@ -597,10 +597,12 @@ def run_suite(
                 # Fetch problems need ~30x the samples of Panda's (median
                 # 3819 vs 129); wider grow steps amortize the per-step
                 # fixed costs there (A/B: 78 -> 92 problems/s, cost
-                # 9.93 -> 9.64 vs reference 9.93)
+                # 9.93 -> 9.64 vs reference 9.93).  K * W is capped at 128
+                # lanes, so the dd-prefilter window is 8 at K=16 (A/B:
+                # 2006 vs 1888-1963 problems/s on Panda) and 4 at K=32.
                 samples_per_step=32 if robot == "fetch" else 16,
                 connect_segments=8,
-                sample_window=4,
+                sample_window=4 if robot == "fetch" else 8,
             )
         retry_budget = 32 * settings.max_iterations
     elif settings is None:
@@ -876,7 +878,7 @@ def run_suite_pointcloud(
             max_path=96,
             samples_per_step=16,
             connect_segments=8,
-            sample_window=4,
+            sample_window=8,
         )
     retry_budget = 16 * settings.max_iterations
     retry_settings = dataclasses.replace(
